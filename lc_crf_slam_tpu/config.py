@@ -1,0 +1,213 @@
+"""Typed configuration for the whole pipeline.
+
+The reference scatters load-bearing constants across YAML settings files
+and hardcoded C++ (SURVEY.md §6.6: matcher thresholds TH_LOW/TH_HIGH,
+covisibility weights 15/100, culling ratios, chi2 cutoffs, ORB extractor
+params from TUM*.yaml). Here every one of them is a named, documented
+field with the reference's default, so ATE parity is a config question,
+not an archaeology question.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ORBConfig:
+    """ORB extractor (reference: ORBextractor ctor args from YAML)."""
+
+    n_features: int = 1000        # ORBextractor.nFeatures
+    scale_factor: float = 1.2     # ORBextractor.scaleFactor
+    n_levels: int = 8             # ORBextractor.nLevels
+    ini_th_fast: int = 20         # ORBextractor.iniThFAST
+    min_th_fast: int = 7          # ORBextractor.minThFAST
+    # TPU front-end specifics (no upstream counterpart)
+    cell_size: int = 16           # score-grid cell for spatial balancing
+    max_keypoints: int = 1024     # static keypoint capacity (>= n_features)
+    patch_size: int = 31          # orientation/descriptor patch
+    edge_margin: int = 19         # keep keypoints this far from the border
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Hamming matcher thresholds (reference: ORBmatcher.cc constants)."""
+
+    th_low: int = 50              # TH_LOW
+    th_high: int = 100            # TH_HIGH
+    nn_ratio_tracking: float = 0.9
+    nn_ratio_reloc: float = 0.75
+    check_orientation: bool = True
+    histo_bins: int = 30          # HISTO_LENGTH
+    search_radius_motion: float = 15.0   # SearchByProjection frame-frame
+    search_radius_map: float = 3.0       # SearchByProjection frame-localmap
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Tracking thread policy (reference: Tracking.cc)."""
+
+    th_depth: float = 40.0        # ThDepth: close/far split, in units of b
+    depth_map_factor: float = 5000.0
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30       # ~fps
+    kf_ref_ratio: float = 0.75            # thRefRatio for RGB-D
+    kf_min_close_tracked: int = 100       # nTrackedClose threshold
+    kf_max_close_insertable: int = 70     # nNonTrackedClose threshold
+    min_inliers_ok: int = 30              # matches to declare tracking OK
+    min_inliers_reloc: int = 50
+    max_vo_points: int = 100              # temporal points in UpdateLastFrame
+
+
+@dataclass(frozen=True)
+class PoseOptConfig:
+    """Motion-only BA (reference: Optimizer::PoseOptimization)."""
+
+    rounds: int = 4
+    iters_per_round: int = 10
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    huber_delta_mono: float = 2.4477   # sqrt(5.991)
+    huber_delta_stereo: float = 2.7955  # sqrt(7.815)
+    init_lambda: float = 1e-3
+
+
+@dataclass(frozen=True)
+class LocalBAConfig:
+    """Local bundle adjustment window (reference: LocalBundleAdjustment)."""
+
+    max_local_kfs: int = 16       # covisible window (reference: all covisible)
+    max_fixed_kfs: int = 16
+    max_points: int = 4096
+    max_obs: int = 16384
+    outer_iters_1: int = 5
+    outer_iters_2: int = 10
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    huber_delta: float = 2.7955
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Local mapping policy (reference: LocalMapping.cc)."""
+
+    cull_found_ratio: float = 0.25     # MapPointCulling found/visible
+    cull_min_obs: int = 3
+    kf_cull_redundancy: float = 0.9    # KeyFrameCulling ≥90% redundant
+    triangulation_neighbors: int = 10  # best covisible KFs for new points
+    fuse_neighbors: int = 10
+    covisibility_min_weight: int = 15  # covisibility edge threshold
+    max_new_points_per_kf: int = 512
+
+
+@dataclass(frozen=True)
+class CRFConfig:
+    """CRF dynamic labeler (the fork's addition; SURVEY.md §4.5 [P]).
+
+    Energy weights are exposed because the exact paper values could not be
+    verified (empty reference mount); defaults calibrated on synthetic
+    dynamic scenes.
+    """
+
+    enabled: bool = True
+    mean_field_iters: int = 5
+    # unary weights
+    w_reproj: float = 1.0           # long-term reprojection consistency
+    w_depth: float = 1.0            # projected-vs-measured depth
+    w_flow: float = 0.5             # short-term track / flow consistency
+    reproj_sigma: float = 2.0       # px
+    depth_sigma: float = 0.06       # relative depth error scale
+    flow_sigma: float = 2.0         # px
+    prior_static: float = 0.6       # label prior
+    # pairwise
+    knn: int = 8
+    pairwise_weight: float = 1.5
+    spatial_sigma: float = 0.35     # m, Gaussian kernel on 3D distance
+    # consumption
+    dynamic_threshold: float = 0.5  # P(dynamic) above this excludes point
+    history_decay: float = 0.9      # EMA decay for long-term evidence
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closing (reference: LoopClosing.cc + KeyFrameDatabase)."""
+
+    enabled: bool = True
+    min_kfs_since_last: int = 10
+    consistency_needed: int = 3        # mnCovisibilityConsistencyTh
+    min_bow_matches: int = 20
+    min_sim3_inliers: int = 20
+    min_total_matches: int = 40
+    ransac_hypotheses: int = 256       # batched Horn hypotheses
+    ransac_inlier_chi2: float = 9.210
+    fix_scale: bool = True             # RGB-D
+    pose_graph_iters: int = 20
+    covis_edge_weight: int = 100       # strong covisibility edges in ess. graph
+    retrieval_topk: int = 8
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Fixed capacities of the functional map state."""
+
+    max_points: int = 32768
+    max_keyframes: int = 320
+    max_features: int = 1024           # per keyframe (= ORBConfig.max_keypoints)
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    pose_opt: PoseOptConfig = field(default_factory=PoseOptConfig)
+    local_ba: LocalBAConfig = field(default_factory=LocalBAConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    crf: CRFConfig = field(default_factory=CRFConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+
+    def replace(self, **kwargs) -> "SLAMConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def tum_config(preset: int = 3, **overrides) -> SLAMConfig:
+    """Config for TUM RGB-D sequence families fr1/fr2/fr3."""
+    cfg = SLAMConfig(**overrides)
+    return cfg
+
+
+def load_yaml(path: str) -> SLAMConfig:
+    """Load a config from a (simple, flat) YAML/JSON-ish file.
+
+    Accepts `section.key: value` lines; sections follow the dataclass
+    field names above. Kept dependency-free (no pyyaml requirement).
+    """
+    import re
+
+    cfg = SLAMConfig()
+    sections = {f.name: dict() for f in dataclasses.fields(cfg)}
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            m = re.match(r"([\w.]+)\s*:\s*(.+)", line)
+            if not m:
+                continue
+            key, val = m.group(1), m.group(2).strip()
+            if "." not in key:
+                continue
+            sec, name = key.split(".", 1)
+            if sec in sections:
+                try:
+                    parsed = eval(val, {"__builtins__": {}})  # numbers/bools only
+                except Exception:
+                    parsed = val
+                sections[sec][name] = parsed
+    kwargs = {}
+    for f in dataclasses.fields(cfg):
+        sub = getattr(cfg, f.name)
+        if sections[f.name]:
+            sub = dataclasses.replace(sub, **sections[f.name])
+        kwargs[f.name] = sub
+    return SLAMConfig(**kwargs)

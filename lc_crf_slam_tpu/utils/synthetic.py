@@ -1,0 +1,170 @@
+"""Synthetic RGB-D sequence generation with exact ground truth.
+
+The reference had no tests (SURVEY.md §5); its de-facto test was running
+TUM sequences. With no dataset in this environment, this module is the
+test bed: scripted camera trajectories over random static point clouds
+with optional moving (dynamic) clusters, producing
+  - exact ground-truth trajectories,
+  - direct feature observations (keypoints + descriptors + depth) for
+    pipeline tests that bypass the image front-end, and
+  - rendered grayscale/depth images (dot splats + textured background)
+    for front-end (FAST/ORB) tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..geometry.camera import Pinhole
+
+
+@dataclass
+class SyntheticFrame:
+    timestamp: float
+    T_cw: np.ndarray                  # (4,4) world->camera ground truth
+    uv: np.ndarray                    # (M,2) observed pixels (with noise)
+    depth: np.ndarray                 # (M,) measured depth (with noise)
+    desc: np.ndarray                  # (M,8) uint32 observed descriptors
+    point_id: np.ndarray              # (M,) world point index (GT assoc)
+    is_dynamic: np.ndarray            # (M,) bool GT dynamic label
+    image: Optional[np.ndarray] = None       # (H,W) float32 grayscale
+    depth_image: Optional[np.ndarray] = None  # (H,W) float32 meters
+
+
+@dataclass
+class SyntheticWorld:
+    """Static cloud + moving clusters + scripted camera."""
+
+    cam: Pinhole
+    n_static: int = 600
+    n_dynamic: int = 120
+    n_frames: int = 60
+    seed: int = 0
+    pixel_noise: float = 0.3
+    depth_noise: float = 0.01
+    desc_flip_prob: float = 0.02      # per-bit observation noise
+    dynamic_speed: float = 0.04       # m/frame cluster translation
+    trajectory: str = "orbit"         # orbit | line | loop
+    box: tuple = (6.0, 4.0, 4.0)      # world extents (x, y, z)
+    rng: np.random.Generator = field(init=False)
+
+    def __post_init__(self):
+        self.rng = np.random.default_rng(self.seed)
+        bx, by, bz = self.box
+        # Static cloud in a box in front of the world origin, z in [2, 2+bz]
+        self.p_static = np.stack(
+            [
+                self.rng.uniform(-bx / 2, bx / 2, self.n_static),
+                self.rng.uniform(-by / 2, by / 2, self.n_static),
+                self.rng.uniform(2.0, 2.0 + bz, self.n_static),
+            ],
+            axis=-1,
+        )
+        # Dynamic cluster: compact blob that translates over time
+        center = np.array([bx * 0.15, 0.0, 3.0])
+        self.p_dyn0 = center + self.rng.normal(0, 0.3, (self.n_dynamic, 3))
+        dirv = self.rng.normal(0, 1, 3)
+        dirv[2] *= 0.2
+        self.dyn_dir = dirv / (np.linalg.norm(dirv) + 1e-9)
+        # One stable 256-bit descriptor per world point
+        n_total = self.n_static + self.n_dynamic
+        self.descs = self.rng.integers(
+            0, 2**32, size=(n_total, 8), dtype=np.uint32
+        )
+
+    # --- camera trajectories -------------------------------------------------
+    def gt_pose_twc(self, k: int) -> np.ndarray:
+        """Camera-to-world pose at frame k."""
+        t = k / max(self.n_frames - 1, 1)
+        if self.trajectory == "line":
+            pos = np.array([t * 1.0 - 0.5, 0.05 * np.sin(4 * np.pi * t), -0.2 * t])
+            yaw = 0.1 * np.sin(2 * np.pi * t)
+        elif self.trajectory == "loop":
+            ang = 2 * np.pi * t
+            pos = np.array([0.6 * np.sin(ang), 0.1 * np.sin(2 * ang), 0.4 * (1 - np.cos(ang))])
+            yaw = 0.25 * np.sin(ang)
+        else:  # orbit: small lateral arc, always looking at the cloud
+            ang = 0.8 * np.sin(2 * np.pi * t)
+            pos = np.array([0.8 * np.sin(ang), 0.1 * np.sin(4 * np.pi * t), 0.3 * (1 - np.cos(ang))])
+            yaw = -0.25 * np.sin(ang)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        pitch = 0.05 * np.sin(2 * np.pi * t)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        R_yaw = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4)
+        T[:3, :3] = R_yaw @ R_pitch
+        T[:3, 3] = pos
+        return T
+
+    def points_at(self, k: int) -> np.ndarray:
+        """All world points at frame k; dynamic cluster moved."""
+        p_dyn = self.p_dyn0 + self.dyn_dir * self.dynamic_speed * k
+        return np.concatenate([self.p_static, p_dyn], axis=0)
+
+    # --- observation generation ---------------------------------------------
+    def frame(self, k: int, render: bool = False) -> SyntheticFrame:
+        cam = self.cam
+        T_wc = self.gt_pose_twc(k)
+        T_cw = np.linalg.inv(T_wc)
+        pts_w = self.points_at(k)
+        pts_c = pts_w @ T_cw[:3, :3].T + T_cw[:3, 3]
+        z = pts_c[:, 2]
+        vis = z > 0.1
+        u = cam.fx * pts_c[:, 0] / np.where(vis, z, 1.0) + cam.cx
+        v = cam.fy * pts_c[:, 1] / np.where(vis, z, 1.0) + cam.cy
+        m = 8.0
+        vis &= (u >= m) & (u < cam.width - m) & (v >= m) & (v < cam.height - m)
+        ids = np.nonzero(vis)[0]
+        uv = np.stack([u[ids], v[ids]], axis=-1)
+        uv_noisy = uv + self.rng.normal(0, self.pixel_noise, uv.shape)
+        zm = z[ids] * (1 + self.rng.normal(0, self.depth_noise, len(ids)))
+        # Descriptor observation noise: flip bits with small probability
+        desc = self.descs[ids].copy()
+        flips = self.rng.random((len(ids), 256)) < self.desc_flip_prob
+        flip_words = np.zeros((len(ids), 8), dtype=np.uint32)
+        for w in range(8):
+            bits = flips[:, w * 32 : (w + 1) * 32]
+            flip_words[:, w] = (bits * (1 << np.arange(32, dtype=np.uint64))).sum(
+                axis=-1, dtype=np.uint64
+            ).astype(np.uint32)
+        desc ^= flip_words
+        is_dyn = ids >= self.n_static
+
+        frame = SyntheticFrame(
+            timestamp=k / 30.0,
+            T_cw=T_cw,
+            uv=uv_noisy.astype(np.float32),
+            depth=zm.astype(np.float32),
+            desc=desc,
+            point_id=ids,
+            is_dynamic=is_dyn,
+        )
+        if render:
+            frame.image, frame.depth_image = self._render(uv, z[ids])
+        return frame
+
+    def _render(self, uv: np.ndarray, z: np.ndarray):
+        """Splat bright dots on a mid-gray noisy background.
+
+        A 3x3 bright square on darker surroundings makes every dot an
+        unambiguous FAST corner at its center pixel.
+        """
+        H, W = self.cam.height, self.cam.width
+        rng = np.random.default_rng(12345)  # fixed texture, frame-independent
+        img = 60.0 + 8.0 * rng.standard_normal((H, W)).astype(np.float32)
+        depth_img = np.zeros((H, W), np.float32)
+        ui = np.round(uv[:, 0]).astype(int)
+        vi = np.round(uv[:, 1]).astype(int)
+        for x, y, d in zip(ui, vi, z):
+            img[y - 1 : y + 2, x - 1 : x + 2] = 220.0
+            depth_img[y - 2 : y + 3, x - 2 : x + 3] = d
+        return np.clip(img, 0, 255), depth_img
+
+    def groundtruth(self):
+        ts = np.array([k / 30.0 for k in range(self.n_frames)])
+        poses = np.stack([self.gt_pose_twc(k) for k in range(self.n_frames)])
+        return ts, poses

@@ -1,0 +1,206 @@
+"""Unit tests: SE3/SO3/Sim3 Lie ops, camera model, alignment."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lc_crf_slam_tpu.geometry import se3, sim3 as sim3m
+from lc_crf_slam_tpu.geometry.camera import (
+    Pinhole,
+    TUM1,
+    TUM3,
+    project_points,
+    project_stereo,
+    unproject_depth,
+    undistort_pixels,
+    distort_normalized,
+)
+from lc_crf_slam_tpu.geometry.align import umeyama_alignment, horn_sim3
+
+RNG = np.random.default_rng(7)
+
+
+def random_rotations(n, max_angle=np.pi * 0.95):
+    axes = RNG.normal(size=(n, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    angles = RNG.uniform(0.01, max_angle, size=(n, 1))
+    return jnp.asarray(axes * angles, dtype=jnp.float32)
+
+
+class TestSO3:
+    def test_exp_log_roundtrip(self):
+        w = random_rotations(64)
+        R = se3.exp_so3(w)
+        w2 = se3.log_so3(R)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=2e-4)
+
+    def test_exp_is_rotation(self):
+        w = random_rotations(16)
+        R = np.asarray(se3.exp_so3(w))
+        eye = np.einsum("nij,nkj->nik", R, R)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+    def test_small_angle(self):
+        w = jnp.array([[1e-7, -2e-7, 1e-7], [0.0, 0.0, 0.0]])
+        R = se3.exp_so3(w)
+        np.testing.assert_allclose(np.asarray(R[1]), np.eye(3), atol=1e-7)
+        w2 = se3.log_so3(R)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=1e-7)
+
+    def test_near_pi(self):
+        axis = np.array([0.6, -0.64, 0.48])
+        axis /= np.linalg.norm(axis)
+        w = jnp.asarray(axis * 3.14, dtype=jnp.float32)[None]
+        R = se3.exp_so3(w)
+        w2 = se3.log_so3(R)
+        R2 = se3.exp_so3(w2)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-3)
+
+
+class TestSE3:
+    def test_exp_log_roundtrip(self):
+        xi = jnp.asarray(RNG.normal(0, 0.8, (32, 6)), dtype=jnp.float32)
+        T = se3.exp_se3(xi)
+        xi2 = se3.log_se3(T)
+        np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=3e-4)
+
+    def test_inverse_compose(self):
+        xi = jnp.asarray(RNG.normal(0, 0.5, (8, 6)), dtype=jnp.float32)
+        T = se3.exp_se3(xi)
+        eye = np.asarray(se3.se3_compose(T, se3.se3_inverse(T)))
+        np.testing.assert_allclose(eye, np.tile(np.eye(4), (8, 1, 1)), atol=1e-5)
+
+    def test_apply_matches_matmul(self):
+        xi = jnp.asarray(RNG.normal(0, 0.5, (6,)), dtype=jnp.float32)
+        T = se3.exp_se3(xi)
+        p = jnp.asarray(RNG.normal(0, 2.0, (10, 3)), dtype=jnp.float32)
+        got = se3.se3_apply(T, p)
+        ph = np.concatenate([np.asarray(p), np.ones((10, 1))], axis=-1)
+        want = (np.asarray(T) @ ph.T).T[:, :3]
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_quat_roundtrip(self):
+        w = random_rotations(64)
+        R = se3.exp_so3(w)
+        q = se3.rotmat_to_quat(R)
+        R2 = se3.quat_to_rotmat(q)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+        # canonical sign
+        assert np.all(np.asarray(q)[:, 3] >= 0)
+
+
+class TestSim3:
+    def test_exp_log_roundtrip(self):
+        xi = jnp.asarray(RNG.normal(0, 0.6, (32, 7)), dtype=jnp.float32)
+        xi = xi.at[:, 6].set(jnp.clip(xi[:, 6], -0.5, 0.5))
+        S = sim3m.exp_sim3(xi)
+        xi2 = sim3m.log_sim3(S)
+        np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=2e-3)
+
+    def test_compose_inverse(self):
+        xi = jnp.asarray(RNG.normal(0, 0.4, (8, 7)), dtype=jnp.float32)
+        S = sim3m.exp_sim3(xi)
+        Sinv = sim3m.sim3_inverse(S)
+        I = sim3m.sim3_compose(S, Sinv)
+        np.testing.assert_allclose(np.asarray(I[0]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(I[1]), np.tile(np.eye(3), (8, 1, 1)), atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(I[2]), 0.0, atol=1e-5)
+
+    def test_apply(self):
+        xi = jnp.asarray([0.1, -0.2, 0.3, 0.2, 0.1, -0.1, 0.3])
+        S = sim3m.exp_sim3(xi)
+        p = jnp.asarray(RNG.normal(0, 1, (5, 3)), dtype=jnp.float32)
+        got = sim3m.sim3_apply((S[0], S[1], S[2]), p)
+        want = np.asarray(S[0]) * (np.asarray(p) @ np.asarray(S[1]).T) + np.asarray(S[2])
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_se3_interop(self):
+        xi = jnp.asarray(RNG.normal(0, 0.4, (6,)), dtype=jnp.float32)
+        T = se3.exp_se3(xi)
+        S = sim3m.sim3_from_se3(T)
+        T2 = sim3m.se3_from_sim3(S)
+        np.testing.assert_allclose(np.asarray(T2), np.asarray(T), atol=1e-6)
+
+
+class TestCamera:
+    cam = TUM3
+
+    def test_project_unproject(self):
+        uv = jnp.asarray(RNG.uniform(10, 470, (100, 2)), dtype=jnp.float32)
+        d = jnp.asarray(RNG.uniform(0.5, 5.0, (100,)), dtype=jnp.float32)
+        p = unproject_depth(self.cam, uv, d)
+        uv2, z2 = project_points(self.cam, p)
+        np.testing.assert_allclose(np.asarray(uv2), np.asarray(uv), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(z2), np.asarray(d), atol=1e-5)
+
+    def test_stereo_ur(self):
+        p = jnp.asarray([[0.5, 0.2, 2.0]])
+        uvr, z = project_stereo(self.cam, p)
+        assert abs(float(uvr[0, 2]) - (float(uvr[0, 0]) - self.cam.bf / 2.0)) < 1e-4
+
+    def test_undistort_roundtrip(self):
+        cam = TUM1  # has real distortion
+        xy = jnp.asarray(RNG.uniform(-0.3, 0.3, (50, 2)), dtype=jnp.float32)
+        xyd = distort_normalized(cam, xy)
+        uv_dist = jnp.stack(
+            [xyd[:, 0] * cam.fx + cam.cx, xyd[:, 1] * cam.fy + cam.cy], axis=-1
+        )
+        uv_und = undistort_pixels(cam, uv_dist, iters=20)
+        want = np.stack(
+            [np.asarray(xy)[:, 0] * cam.fx + cam.cx,
+             np.asarray(xy)[:, 1] * cam.fy + cam.cy], axis=-1
+        )
+        np.testing.assert_allclose(np.asarray(uv_und), want, atol=0.05)
+
+    def test_no_distortion_is_identity(self):
+        uv = jnp.asarray([[100.0, 200.0]])
+        assert not TUM3.has_distortion
+        np.testing.assert_array_equal(
+            np.asarray(undistort_pixels(TUM3, uv)), np.asarray(uv)
+        )
+
+
+class TestAlignment:
+    def test_umeyama_exact(self):
+        p = jnp.asarray(RNG.normal(0, 2, (40, 3)), dtype=jnp.float32)
+        w_axis = np.array([0.3, -0.2, 0.5])
+        R_true = np.asarray(se3.exp_so3(jnp.asarray(w_axis)))
+        t_true = np.array([1.0, -2.0, 0.5])
+        s_true = 1.7
+        q = s_true * np.asarray(p) @ R_true.T + t_true
+        s, R, t = umeyama_alignment(p, jnp.asarray(q, jnp.float32), with_scale=True)
+        np.testing.assert_allclose(float(s), s_true, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-3)
+
+    def test_umeyama_no_scale(self):
+        p = jnp.asarray(RNG.normal(0, 2, (40, 3)), dtype=jnp.float32)
+        R_true = np.asarray(se3.exp_so3(jnp.asarray([0.1, 0.9, -0.3])))
+        q = np.asarray(p) @ R_true.T + np.array([0.5, 0.5, -1.0])
+        s, R, t = umeyama_alignment(p, jnp.asarray(q, jnp.float32), with_scale=False)
+        assert float(s) == 1.0
+        np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-4)
+
+    def test_weighted_ignores_outliers(self):
+        p = np.asarray(RNG.normal(0, 2, (50, 3)), dtype=np.float32)
+        R_true = np.asarray(se3.exp_so3(jnp.asarray([0.2, -0.1, 0.4])))
+        q = p @ R_true.T + np.array([1.0, 0.0, -0.5], dtype=np.float32)
+        q[:5] += RNG.normal(0, 10, (5, 3))  # outliers
+        w = np.ones(50, np.float32)
+        w[:5] = 0.0
+        s, R, t = horn_sim3(jnp.asarray(p), jnp.asarray(q, jnp.float32),
+                            w=jnp.asarray(w), fix_scale=True)
+        np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-4)
+
+    def test_batched(self):
+        p = jnp.asarray(RNG.normal(0, 1, (4, 30, 3)), dtype=jnp.float32)
+        xi = jnp.asarray(RNG.normal(0, 0.3, (4, 3)), dtype=jnp.float32)
+        Rb = se3.exp_so3(xi)
+        q = jnp.einsum("bij,bnj->bni", Rb, p)
+        s, R, t = umeyama_alignment(p, q)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(Rb), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-4)
