@@ -18,6 +18,11 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(w: jax.Array) -> jax.Array:
+    """||w|| differentiable at 0 (gradient 0 instead of NaN), keepdims."""
+    return jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True) + 1e-30)
+
+
 def hat_so3(w: jax.Array) -> jax.Array:
     """(..., 3) -> (..., 3, 3) skew-symmetric matrix."""
     wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
@@ -37,8 +42,16 @@ def vee_so3(W: jax.Array) -> jax.Array:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+# Small-angle Taylor cutoffs sized for float32: the naive expressions
+# ((1-cos t)/t^2, (t-sin t)/t^3, 1 - (t/2)cot(t/2), ...) cancel
+# catastrophically for t below ~5e-2 in f32 — errors of order eps/t^2 that
+# once corrupted every pose-update translation by millimeters and made
+# tracking drift compound (found via zero-noise e2e divergence).
+_SMALL_TH = 5e-2
+
+
 def _sinc(x: jax.Array) -> jax.Array:
-    """sin(x)/x with Taylor fallback near 0."""
+    """sin(x)/x with Taylor fallback near 0 (no cancellation, tight cut)."""
     small = jnp.abs(x) < 1e-4
     xs = jnp.where(small, 1.0, x)  # avoid 0/0 in the untaken branch
     return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
@@ -46,14 +59,18 @@ def _sinc(x: jax.Array) -> jax.Array:
 
 def _cosc(x: jax.Array) -> jax.Array:
     """(1-cos(x))/x^2 with Taylor fallback near 0."""
-    small = jnp.abs(x) < 1e-4
+    small = jnp.abs(x) < _SMALL_TH
     xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
+    x2 = x * x
+    return jnp.where(
+        small, 0.5 - x2 / 24.0 + x2 * x2 / 720.0,
+        (1.0 - jnp.cos(xs)) / (xs * xs),
+    )
 
 
 def exp_so3(w: jax.Array) -> jax.Array:
     """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = _safe_norm(w)
     th = theta[..., None]  # (..., 1, 1)
     W = hat_so3(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -79,30 +96,36 @@ def log_so3(R: jax.Array) -> jax.Array:
 
 def _left_jacobian(w: jax.Array) -> jax.Array:
     """SO(3) left Jacobian J_l(w): V matrix of SE(3) exp."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = _safe_norm(w)
     th = theta[..., None]
     W = hat_so3(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    small = th < 1e-4
+    small = th < _SMALL_TH
     ths = jnp.where(small, 1.0, th)
-    A = jnp.where(small, 0.5 - th * th / 24.0, (1.0 - jnp.cos(ths)) / (ths * ths))
+    th2 = th * th
+    A = jnp.where(
+        small, 0.5 - th2 / 24.0 + th2 * th2 / 720.0,
+        (1.0 - jnp.cos(ths)) / (ths * ths),
+    )
     B = jnp.where(
-        small, 1.0 / 6.0 - th * th / 120.0, (ths - jnp.sin(ths)) / (ths * ths * ths)
+        small, 1.0 / 6.0 - th2 / 120.0 + th2 * th2 / 5040.0,
+        (ths - jnp.sin(ths)) / (ths * ths * ths),
     )
     return I + A * W + B * (W @ W)
 
 
 def _left_jacobian_inv(w: jax.Array) -> jax.Array:
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = _safe_norm(w)
     th = theta[..., None]
     W = hat_so3(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    small = th < 1e-4
+    small = th < _SMALL_TH
     ths = jnp.where(small, 1.0, th)
     half = 0.5 * ths
+    th2 = th * th
     cot_term = jnp.where(
         small,
-        1.0 / 12.0 + th * th / 720.0,
+        1.0 / 12.0 + th2 / 720.0 + th2 * th2 / 30240.0,
         (1.0 - half * jnp.cos(half) / jnp.sin(half)) / (ths * ths),
     )
     return I - 0.5 * W + cot_term * (W @ W)
@@ -137,6 +160,23 @@ def make_se3(R: jax.Array, t: jax.Array) -> jax.Array:
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), batch + (4,)
     )[..., None, :]
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+def orthonormalize_se3(T: jax.Array) -> jax.Array:
+    """Project the rotation block onto SO(3) (SVD polar projection).
+
+    Repeated compose/inverse cycles amplify f32 non-orthogonality
+    exponentially (se3_inverse uses the transpose as the inverse, which
+    doubles any orthogonality defect per round trip); tracking applies
+    this projection once per frame to kill the feedback loop.
+    """
+    R = T[..., :3, :3]
+    U, _, Vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(U @ Vt)
+    S = jnp.ones(T.shape[:-2] + (3,), T.dtype)
+    S = S.at[..., 2].set(jnp.where(det < 0, -1.0, 1.0))
+    R_o = U @ (S[..., :, None] * Vt)
+    return make_se3(R_o, T[..., :3, 3])
 
 
 def se3_inverse(T: jax.Array) -> jax.Array:

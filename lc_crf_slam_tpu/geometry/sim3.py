@@ -62,13 +62,17 @@ def _sim3_W(w: jax.Array, sigma: jax.Array) -> jax.Array:
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), Wx.shape)
     s = jnp.exp(sigma)
 
-    small_sig = jnp.abs(sigma) < 1e-5
-    small_th = theta < 1e-5
+    # f32-sized cutoffs: the generic closed forms cancel catastrophically
+    # for small sigma/theta (see se3._SMALL_TH note)
+    small_sig = jnp.abs(sigma) < 2e-2
+    small_th = theta < 5e-2
     sig_safe = jnp.where(small_sig, 1.0, sigma)
     th_safe = jnp.where(small_th, 1.0, theta)
 
     # A-coefficient for I term
-    A = jnp.where(small_sig, 1.0 + sigma / 2.0, (s - 1.0) / sig_safe)
+    A = jnp.where(
+        small_sig, 1.0 + sigma / 2.0 + sigma * sigma / 6.0, (s - 1.0) / sig_safe
+    )
 
     # Coefficients for Wx and Wx^2 terms
     th2 = th_safe * th_safe
@@ -86,13 +90,16 @@ def _sim3_W(w: jax.Array, sigma: jax.Array) -> jax.Array:
     D_sig0 = (th_safe - jnp.sin(th_safe)) / (th2 * th_safe)
     # theta ~ 0, any sigma
     C_th0 = jnp.where(
-        small_sig, 0.5 + sigma / 6.0, ((sig_safe - 1.0) * s + 1.0) / sig2
+        small_sig, 0.5 + sigma / 6.0 + sigma * sigma / 24.0,
+        ((sig_safe - 1.0) * s + 1.0) / sig2,
     )
     D_th0 = jnp.where(
         small_sig,
-        1.0 / 6.0 + sigma / 24.0,
+        1.0 / 6.0 + sigma / 24.0 + sigma * sigma / 120.0,
         (s * (0.5 * sig2 - sig_safe + 1.0) - 1.0) / (sig2 * sig_safe),
     )
+    # theta-small corrections with sigma cross-terms are O(th^2) — the
+    # Taylor branches above are exact enough inside the cutoffs
     C = jnp.where(small_th, C_th0, jnp.where(small_sig, C_sig0, C_gen))
     D = jnp.where(small_th, D_th0, jnp.where(small_sig, D_sig0, D_gen))
     return (

@@ -1,0 +1,164 @@
+"""System facade: the user-facing SLAM object.
+
+TPU-native counterpart of the reference's `System.cc` (SURVEY.md §3.1):
+constructs the map + tracking state, jit-compiles the pipeline stages,
+exposes `track_rgbd` (TrackRGBD), trajectory export (SaveTrajectoryTUM /
+SaveKeyFrameTrajectoryTUM), reset, and checkpointing. The reference's
+four OS threads become jitted step functions dispatched asynchronously
+from one Python driver — device dispatch overlap supplies the pipeline
+parallelism (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..geometry.camera import Pinhole
+from ..geometry.se3 import se3_inverse
+from .frame import Frame, build_frame, frame_from_observations
+from .mapstate import MapState, empty_map
+from .tracking import (
+    TrackState,
+    empty_track_state,
+    initialize_map,
+    insert_keyframe,
+    track_step,
+)
+
+
+class SLAMSystem:
+    """Single-session RGB-D SLAM. Not thread-safe by design: the map is a
+    functional pytree, so there is nothing to lock (SURVEY.md §6.2)."""
+
+    def __init__(self, cam: Pinhole, cfg: Optional[SLAMConfig] = None,
+                 log_path: Optional[str] = None, enable_mapping: bool = True,
+                 enable_crf: Optional[bool] = None):
+        self.cam = cam
+        self.cfg = cfg or SLAMConfig()
+        self.map: MapState = empty_map(self.cfg)
+        self.ts: TrackState = empty_track_state(self.cfg)
+        self.enable_mapping = enable_mapping
+        self.enable_crf = (
+            self.cfg.crf.enabled if enable_crf is None else enable_crf
+        )
+        self.initialized = False
+        self.trajectory: List[tuple] = []   # (t, Twc 4x4 np)
+        self.kf_log: List[tuple] = []       # (t, kf_idx)
+        self.stats: List[dict] = []
+        self._log_fh = open(log_path, "w") if log_path else None
+
+        # jit-compiled stages (cfg/cam static)
+        self._build_frame = jax.jit(build_frame, static_argnums=(0, 1))
+        self._init_map = jax.jit(initialize_map, static_argnums=(0, 1))
+        self._track = jax.jit(track_step, static_argnums=(0, 1))
+        self._insert_kf = jax.jit(insert_keyframe, static_argnums=(0, 1))
+        self._mapping = None  # bound lazily (M2)
+        self._crf = None      # bound lazily (M3)
+
+    # ------------------------------------------------------------------ api
+    def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
+        """Process one RGB-D frame; returns Tcw (4, 4) numpy."""
+        frame = self._build_frame(
+            self.cam, self.cfg, jnp.asarray(gray, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
+        )
+        return self._track_frame(frame, timestamp)
+
+    def track_observations(self, uv, depth, desc, timestamp: float) -> np.ndarray:
+        """Pipeline-test entry: track a frame given direct observations."""
+        frame = frame_from_observations(
+            uv, depth, desc, self.cfg.map.max_features, self.cam
+        )
+        return self._track_frame(frame, timestamp)
+
+    def _track_frame(self, frame: Frame, timestamp: float) -> np.ndarray:
+        t0 = time.perf_counter()
+        if not self.initialized:
+            self.map, self.ts = self._init_map(
+                self.cfg, self.cam, self.map, frame, jnp.asarray(timestamp)
+            )
+            self.initialized = True
+            info_host = {"event": "init"}
+            need_kf = False
+        else:
+            self.ts, self.map, info = self._track(
+                self.cfg, self.cam, self.map, self.ts, frame
+            )
+            need_kf = bool(info.need_kf)
+            if need_kf:
+                self.map, self.ts = self._insert_kf(
+                    self.cfg, self.cam, self.map, self.ts, frame, info.obs,
+                    jnp.asarray(timestamp), info.near_map,
+                )
+                if self.enable_mapping and self._mapping is not None:
+                    self.map = self._mapping(
+                        self.cfg, self.cam, self.map, self.ts.ref_kf
+                    )
+                self.kf_log.append((timestamp, int(self.ts.ref_kf)))
+            if self.enable_crf and self._crf is not None:
+                self.map = self._crf(self.cfg, self.map)
+            info_host = {
+                "n_mm": int(info.n_mm_matches),
+                "n_inliers": int(info.n_inliers),
+                "n_local": int(info.n_local_matches),
+                "need_kf": need_kf,
+                "status": int(self.ts.status),
+            }
+
+        Tcw = np.asarray(self.ts.Tcw)
+        Twc = np.asarray(se3_inverse(jnp.asarray(Tcw)))
+        self.trajectory.append((timestamp, Twc))
+        rec = {
+            "t": timestamp,
+            "ms": (time.perf_counter() - t0) * 1e3,
+            "n_points": int(self.map.n_points),
+            "n_kfs": int(self.map.n_kfs),
+            **info_host,
+        }
+        self.stats.append(rec)
+        if self._log_fh:
+            self._log_fh.write(json.dumps(rec) + "\n")
+        return Tcw
+
+    # ----------------------------------------------------------- trajectory
+    def get_trajectory(self):
+        ts = np.array([t for t, _ in self.trajectory])
+        poses = np.stack([T for _, T in self.trajectory])
+        return ts, poses
+
+    def save_trajectory_tum(self, path: str) -> None:
+        from ..utils.io_tum import write_trajectory_tum
+
+        ts, poses = self.get_trajectory()
+        write_trajectory_tum(path, ts, poses)
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        from ..utils.io_tum import write_trajectory_tum
+
+        n = int(self.map.n_kfs)
+        Twc = np.asarray(
+            jax.vmap(se3_inverse)(self.map.kf_Tcw[:n])
+        )
+        times = np.asarray(self.map.kf_time[:n])
+        write_trajectory_tum(path, times, Twc)
+
+    def reset(self) -> None:
+        """System::Reset — clear the map and tracking state."""
+        self.map = empty_map(self.cfg)
+        self.ts = empty_track_state(self.cfg)
+        self.initialized = False
+        self.trajectory.clear()
+        self.kf_log.clear()
+
+    def shutdown(self) -> None:
+        if self._log_fh:
+            self._log_fh.close()
+            self._log_fh = None

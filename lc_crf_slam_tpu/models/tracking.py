@@ -1,0 +1,432 @@
+"""Tracking: per-frame pose estimation against the last frame and the map.
+
+TPU-native counterpart of the reference's `Tracking.cc` hot path
+(SURVEY.md §4.2): motion-model prediction -> projection-gated matching
+against the last frame (including temporal "visual odometry" points from
+depth, cf. UpdateLastFrame) -> motion-only pose optimization ->
+track-local-map (frustum culling + projection matching + second pose
+optimization) -> keyframe decision (RGB-D close-point rules) ->
+keyframe/new-point insertion (CreateNewKeyFrame's depth-backed points).
+
+Everything is jit-compiled over fixed shapes; the only host decision per
+frame is whether to run the (jitted) keyframe insertion, mirroring the
+reference's Tracking -> LocalMapping handoff.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..geometry.camera import Pinhole
+from ..geometry.se3 import orthonormalize_se3, se3_inverse
+from ..ops.match import (
+    hamming_matrix,
+    match_nn,
+    projection_gate,
+    resolve_duplicates,
+    rotation_consistency,
+)
+from .ba import pose_optimize
+from .frame import Frame
+from .mapstate import MapState, add_keyframe, add_points
+
+LOCAL_POINTS = 4096  # fixed capacity of the tracked local-map window
+
+
+class TrackState(NamedTuple):
+    Tcw: jax.Array          # (4, 4) current camera pose (world->cam)
+    vel: jax.Array          # (4, 4) constant-velocity model Tcw_t @ Twc_{t-1}
+    last_uv: jax.Array      # (K, 2) last frame features
+    last_ur: jax.Array      # (K,)
+    last_depth: jax.Array   # (K,)
+    last_level: jax.Array   # (K,) int32
+    last_angle: jax.Array   # (K,)
+    last_desc: jax.Array    # (K, 8) uint32
+    last_valid: jax.Array   # (K,) bool
+    last_obs: jax.Array     # (K,) int32 map point per last-frame feature
+    ref_kf: jax.Array       # () int32
+    ref_matches: jax.Array  # () int32 inlier count when ref KF was made
+    n_since_kf: jax.Array   # () int32
+    status: jax.Array      # () int32: 0 uninit / 1 ok / 2 lost
+
+
+class TrackInfo(NamedTuple):
+    n_mm_matches: jax.Array
+    n_inliers: jax.Array
+    n_local_matches: jax.Array
+    n_tracked_close: jax.Array
+    n_untracked_close: jax.Array
+    need_kf: jax.Array
+    obs: jax.Array          # (K,) int32 final per-feature map-point ids
+    inlier: jax.Array       # (K,) bool final per-feature inlier mask
+    near_map: jax.Array     # (K,) bool feature lies on an existing point's
+                            # projection (duplicate guard for KF insertion)
+
+
+def empty_track_state(cfg: SLAMConfig) -> TrackState:
+    K = cfg.map.max_features
+    f32, i32 = jnp.float32, jnp.int32
+    return TrackState(
+        Tcw=jnp.eye(4, dtype=f32),
+        vel=jnp.eye(4, dtype=f32),
+        last_uv=jnp.zeros((K, 2), f32),
+        last_ur=jnp.full((K,), -1.0, f32),
+        last_depth=jnp.zeros((K,), f32),
+        last_level=jnp.zeros((K,), i32),
+        last_angle=jnp.zeros((K,), f32),
+        last_desc=jnp.zeros((K, 8), jnp.uint32),
+        last_valid=jnp.zeros((K,), bool),
+        last_obs=jnp.full((K,), -1, i32),
+        ref_kf=jnp.asarray(0, i32),
+        ref_matches=jnp.asarray(0, i32),
+        n_since_kf=jnp.asarray(0, i32),
+        status=jnp.asarray(0, i32),
+    )
+
+
+def _depth_threshold(cam: Pinhole, cfg: SLAMConfig) -> float:
+    """Close/far split: ThDepth * baseline (reference Tracking ctor)."""
+    return cfg.tracking.th_depth * cam.bf / cam.fx
+
+
+def _unproject_world(cam: Pinhole, Twc, uv, depth):
+    x = (uv[:, 0] - cam.cx) / cam.fx * depth
+    y = (uv[:, 1] - cam.cy) / cam.fy * depth
+    pc = jnp.stack([x, y, depth], axis=-1)
+    return pc @ Twc[:3, :3].T + Twc[:3, 3]
+
+
+def _scale_radii(level: jax.Array, base: float, scale_factor: float):
+    return base * scale_factor ** level.astype(jnp.float32)
+
+
+def _point_scale_range(
+    depth: jax.Array, level: jax.Array, n_levels: int, scale_factor: float
+):
+    """MapPoint scale-invariance distances from creation depth + level."""
+    max_dist = depth * scale_factor ** level.astype(jnp.float32)
+    min_dist = max_dist / scale_factor ** (n_levels - 1)
+    return min_dist, max_dist
+
+
+def initialize_map(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, frame: Frame,
+    timestamp: jax.Array,
+) -> Tuple[MapState, TrackState]:
+    """StereoInitialization: first frame becomes KF0 at identity; every
+    keypoint with depth becomes a map point."""
+    Tcw = jnp.eye(4, dtype=jnp.float32)
+    create = frame.valid & (frame.depth > 0)
+    pw = _unproject_world(cam, Tcw, frame.uv, frame.depth)  # Twc = I
+    normal = -pw / jnp.maximum(jnp.linalg.norm(pw, axis=-1, keepdims=True), 1e-9)
+    min_d, max_d = _point_scale_range(
+        jnp.linalg.norm(pw, axis=-1), frame.level,
+        cfg.orb.n_levels, cfg.orb.scale_factor,
+    )
+    m, ids = add_points(
+        m, pw, frame.desc, normal, min_d, max_d, create, jnp.asarray(0)
+    )
+    m, kf_idx = add_keyframe(m, frame, Tcw, timestamp, ids)
+    ts = empty_track_state(cfg)._replace(
+        Tcw=Tcw,
+        last_uv=frame.uv,
+        last_ur=frame.u_right,
+        last_depth=frame.depth,
+        last_level=frame.level,
+        last_angle=frame.angle,
+        last_desc=frame.desc,
+        last_valid=frame.valid,
+        last_obs=ids,
+        ref_kf=kf_idx,
+        ref_matches=jnp.sum((ids >= 0).astype(jnp.int32)),
+        status=jnp.asarray(1, jnp.int32),
+    )
+    return m, ts
+
+
+def track_step(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, ts: TrackState, frame: Frame,
+) -> Tuple[TrackState, MapState, TrackInfo]:
+    """One tracking iteration. Returns updated track state (pose, last-frame
+    buffers), map with updated point statistics, and per-frame info."""
+    mcfg = cfg.matcher
+    T_pred = ts.vel @ ts.Tcw
+
+    # ---- 1. match against last frame (motion model) ------------------------
+    Twc_last = se3_inverse(ts.Tcw)
+    pw_last = jnp.where(
+        (ts.last_obs >= 0)[:, None],
+        m.p_xyz[jnp.maximum(ts.last_obs, 0)],
+        _unproject_world(cam, Twc_last, ts.last_uv, ts.last_depth),
+    )
+    has3d = ts.last_valid & ((ts.last_obs >= 0) | (ts.last_depth > 0))
+    pc_pred = pw_last @ T_pred[:3, :3].T + T_pred[:3, 3]
+    z_pred = pc_pred[:, 2]
+    uv_proj = jnp.stack(
+        [
+            cam.fx * pc_pred[:, 0] / jnp.maximum(z_pred, 1e-6) + cam.cx,
+            cam.fy * pc_pred[:, 1] / jnp.maximum(z_pred, 1e-6) + cam.cy,
+        ],
+        axis=-1,
+    )
+    cand_ok = has3d & (z_pred > 0.05)
+    dist = hamming_matrix(frame.desc, ts.last_desc)
+
+    def _motion_match(radius_mult):
+        gate = projection_gate(
+            frame.uv, uv_proj,
+            _scale_radii(
+                ts.last_level, radius_mult * mcfg.search_radius_motion,
+                cfg.orb.scale_factor,
+            ),
+            frame.level, ts.last_level, level_tolerance=1,
+        )
+        gate &= frame.valid[:, None] & cand_ok[None, :]
+        mm = match_nn(dist, mask=gate, max_dist=mcfg.th_high,
+                      ratio=mcfg.nn_ratio_tracking)
+        mm_valid = mm.valid
+        if mcfg.check_orientation:
+            mm_valid = rotation_consistency(
+                frame.angle, ts.last_angle[mm.idx], mm_valid, mcfg.histo_bins
+            )
+        mm_valid = resolve_duplicates(mm.idx, mm.dist, mm_valid, frame.capacity)
+        return mm, mm_valid
+
+    # reference TrackWithMotionModel: retry with doubled window when the
+    # first search yields too few matches
+    mm_a, valid_a = _motion_match(1.0)
+    mm_b, valid_b = _motion_match(2.0)
+    use_wide = jnp.sum(valid_a.astype(jnp.int32)) < 20
+    mm = jax.tree.map(
+        lambda a, b: jnp.where(use_wide, b, a), mm_a, mm_b
+    )
+    mm_valid = jnp.where(use_wide, valid_b, valid_a)
+    n_mm = jnp.sum(mm_valid.astype(jnp.int32))
+
+    pw_mm = pw_last[mm.idx]
+    obs_mm = jnp.where(mm_valid, ts.last_obs[mm.idx], -1)
+    r1 = pose_optimize(
+        cam, T_pred, pw_mm, frame.uv, frame.u_right, frame.level,
+        mm_valid, cfg.pose_opt, cfg.orb.scale_factor,
+    )
+    T1 = r1.Tcw
+
+    # ---- 2. track local map ------------------------------------------------
+    pc1 = m.p_xyz @ T1[:3, :3].T + T1[:3, 3]
+    z1 = pc1[:, 2]
+    uv1 = jnp.stack(
+        [
+            cam.fx * pc1[:, 0] / jnp.maximum(z1, 1e-6) + cam.cx,
+            cam.fy * pc1[:, 1] / jnp.maximum(z1, 1e-6) + cam.cy,
+        ],
+        axis=-1,
+    )
+    dist_cam = jnp.linalg.norm(
+        m.p_xyz - se3_inverse(T1)[:3, 3][None, :], axis=-1
+    )
+    in_frustum = (
+        m.p_alive
+        & (z1 > 0.05)
+        & (uv1[:, 0] >= 5) & (uv1[:, 0] < cam.width - 5)
+        & (uv1[:, 1] >= 5) & (uv1[:, 1] < cam.height - 5)
+        & (dist_cam >= 0.8 * m.p_min_dist)
+        & (dist_cam <= 1.2 * m.p_max_dist)
+        & (m.p_dyn < cfg.crf.dynamic_threshold)
+    )
+    # fixed-capacity local window: prefer frustum points (ties by index)
+    sel_score = in_frustum.astype(jnp.float32)
+    _, local_ids = jax.lax.top_k(sel_score, LOCAL_POINTS)
+    local_ok = in_frustum[local_ids]
+    # predicted pyramid level from distance (MapPoint::PredictScale)
+    ratio = jnp.maximum(m.p_max_dist[local_ids], 1e-6) / jnp.maximum(
+        dist_cam[local_ids], 1e-6
+    )
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(cfg.orb.scale_factor)),
+        0, cfg.orb.n_levels - 1,
+    ).astype(jnp.int32)
+    gate2 = projection_gate(
+        frame.uv, uv1[local_ids],
+        _scale_radii(pred_level, 4.0, cfg.orb.scale_factor),
+        frame.level, pred_level, level_tolerance=1,
+    )
+    # only queries not already matched by the motion model
+    unmatched_q = ~(mm_valid & (obs_mm >= 0))
+    gate2 &= (frame.valid & unmatched_q)[:, None] & local_ok[None, :]
+    dist2 = hamming_matrix(frame.desc, m.p_desc[local_ids])
+    lm = match_nn(dist2, mask=gate2, max_dist=mcfg.th_high,
+                  ratio=mcfg.nn_ratio_reloc)
+    lm_valid = resolve_duplicates(lm.idx, lm.dist, lm.valid, LOCAL_POINTS)
+    n_local = jnp.sum(lm_valid.astype(jnp.int32))
+    # duplicate guard: features sitting on an existing map point's
+    # projection (position + compatible depth) must not spawn new points
+    # at keyframe insertion (the reference relies on LocalMapping::Fuse;
+    # duplicated descriptors would poison the ratio test)
+    z_local = z1[local_ids]
+    depth_compat = jnp.abs(frame.depth[:, None] - z_local[None, :]) <= (
+        0.15 * jnp.maximum(frame.depth[:, None], 0.3)
+    )
+    near_gate = projection_gate(frame.uv, uv1[local_ids], 4.0)
+    near_map = jnp.any(
+        near_gate & depth_compat & local_ok[None, :], axis=1
+    ) & frame.valid
+
+    # ---- 3. final pose optimization over all associations ------------------
+    obs = jnp.where(
+        mm_valid & (obs_mm >= 0), obs_mm,
+        jnp.where(lm_valid, local_ids[lm.idx], -1),
+    )
+    pw_fin = jnp.where(
+        (obs >= 0)[:, None], m.p_xyz[jnp.maximum(obs, 0)], pw_mm
+    )
+    # reference TrackLocalMap: the final solve uses MAP points only —
+    # temporal VO anchors would re-inject last-frame pose error and turn
+    # tracking into a drifting random walk
+    assoc = obs >= 0
+    r2 = pose_optimize(
+        cam, T1, pw_fin, frame.uv, frame.u_right, frame.level,
+        assoc, cfg.pose_opt, cfg.orb.scale_factor,
+    )
+    T2 = orthonormalize_se3(r2.Tcw)
+    inlier = r2.inliers
+    # reference mnMatchesInliers: count only MAP-point inliers (temporal
+    # VO points keep the pose stable but must not mask map degradation
+    # in the keyframe decision)
+    n_inliers = jnp.sum((inlier & (obs >= 0)).astype(jnp.int32))
+
+    # ---- 4. update per-point statistics (CRF evidence) ---------------------
+    pc2 = m.p_xyz @ T2[:3, :3].T + T2[:3, 3]
+    z2 = pc2[:, 2]
+    uv2 = jnp.stack(
+        [
+            cam.fx * pc2[:, 0] / jnp.maximum(z2, 1e-6) + cam.cx,
+            cam.fy * pc2[:, 1] / jnp.maximum(z2, 1e-6) + cam.cy,
+        ],
+        axis=-1,
+    )
+    vis_ids = jnp.where(local_ok, local_ids, m.capacity_points)
+    m = m._replace(
+        p_visible=m.p_visible.at[vis_ids].add(1, mode="drop")
+    )
+    matched_pts = jnp.where(inlier & (obs >= 0), obs, m.capacity_points)
+    m = m._replace(
+        p_found=m.p_found.at[matched_pts].add(1, mode="drop")
+    )
+    # long-term consistency evidence per observed point
+    reproj_err = jnp.linalg.norm(frame.uv - uv2[jnp.maximum(obs, 0)], axis=-1)
+    depth_err = jnp.where(
+        frame.depth > 0,
+        jnp.abs(frame.depth - z2[jnp.maximum(obs, 0)])
+        / jnp.maximum(frame.depth, 1e-6),
+        0.0,
+    )
+    upd_ids = jnp.where((obs >= 0) & frame.valid, obs, m.capacity_points)
+    decay = cfg.crf.history_decay
+    err_old = m.p_err_ema[jnp.maximum(obs, 0)]
+    derr_old = m.p_depth_err_ema[jnp.maximum(obs, 0)]
+    m = m._replace(
+        p_err_ema=m.p_err_ema.at[upd_ids].set(
+            decay * err_old + (1 - decay) * reproj_err, mode="drop"
+        ),
+        p_depth_err_ema=m.p_depth_err_ema.at[upd_ids].set(
+            decay * derr_old + (1 - decay) * depth_err, mode="drop"
+        ),
+    )
+
+    # ---- 5. keyframe decision (RGB-D close-point rules) --------------------
+    close_th = _depth_threshold(cam, cfg)
+    is_close = (frame.depth > 0) & (frame.depth < close_th)
+    tracked_close = inlier & (obs >= 0) & is_close
+    untracked_close = frame.valid & is_close & ~tracked_close
+    n_tc = jnp.sum(tracked_close.astype(jnp.int32))
+    n_uc = jnp.sum(untracked_close.astype(jnp.int32))
+    tcfg = cfg.tracking
+    ok = n_inliers >= tcfg.min_inliers_ok
+    need_close = (n_tc < tcfg.kf_min_close_tracked) & (
+        n_uc > tcfg.kf_max_close_insertable
+    )
+    # reference c1c/c2: inliers fell below thRefRatio of the reference
+    # keyframe's match count
+    weak = n_inliers < (
+        tcfg.kf_ref_ratio * ts.ref_matches.astype(jnp.float32)
+    ).astype(jnp.int32)
+    need_kf = ok & (
+        (ts.n_since_kf >= tcfg.max_frames_between_kf) | need_close | weak
+    ) & (ts.n_since_kf > tcfg.min_frames_between_kf)
+
+    status = jnp.where(ok, 1, 2).astype(jnp.int32)
+    vel = T2 @ se3_inverse(ts.Tcw)
+    ts2 = ts._replace(
+        Tcw=T2,
+        vel=jnp.where(ok, vel, jnp.eye(4, dtype=jnp.float32)),
+        last_uv=frame.uv,
+        last_ur=frame.u_right,
+        last_depth=frame.depth,
+        last_level=frame.level,
+        last_angle=frame.angle,
+        last_desc=frame.desc,
+        last_valid=frame.valid,
+        last_obs=jnp.where(inlier, obs, -1),
+        n_since_kf=ts.n_since_kf + 1,
+        status=status,
+    )
+    info = TrackInfo(
+        n_mm_matches=n_mm,
+        n_inliers=n_inliers,
+        n_local_matches=n_local,
+        n_tracked_close=n_tc,
+        n_untracked_close=n_uc,
+        need_kf=need_kf,
+        obs=jnp.where(inlier, obs, -1),
+        inlier=inlier,
+        near_map=near_map | (obs >= 0),
+    )
+    return ts2, m, info
+
+
+def insert_keyframe(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, ts: TrackState, frame: Frame,
+    obs: jax.Array, timestamp: jax.Array,
+    near_map: jax.Array | None = None,
+) -> Tuple[MapState, TrackState]:
+    """CreateNewKeyFrame: insert KF, spawn map points from depth for
+    unmatched close keypoints (capped, nearest-first like the reference's
+    depth-sorted creation). `near_map` vetoes duplicates of existing
+    points."""
+    Twc = se3_inverse(ts.Tcw)
+    close_th = _depth_threshold(cam, cfg)
+    cand = frame.valid & (frame.depth > 0) & (obs < 0)
+    if near_map is not None:
+        cand &= ~near_map
+    # nearest-first cap
+    score = jnp.where(cand, -frame.depth, -1e9)
+    k_new = cfg.mapping.max_new_points_per_kf
+    _, top_ids = jax.lax.top_k(score, k_new)
+    chosen = jnp.zeros((frame.capacity,), bool).at[top_ids].set(True)
+    # reference keeps creating past the cap only for close points; here the
+    # cap is the budget: close points win by depth sort automatically
+    create = cand & chosen
+    pw = _unproject_world(cam, Twc, frame.uv, frame.depth)
+    cam_center = Twc[:3, 3]
+    d_vec = pw - cam_center[None, :]
+    dist = jnp.linalg.norm(d_vec, axis=-1)
+    normal = -d_vec / jnp.maximum(dist[:, None], 1e-9)
+    min_d, max_d = _point_scale_range(
+        dist, frame.level, cfg.orb.n_levels, cfg.orb.scale_factor
+    )
+    m, new_ids = add_points(
+        m, pw, frame.desc, normal, min_d, max_d, create, ts.ref_kf + 1
+    )
+    obs_all = jnp.where(obs >= 0, obs, new_ids)
+    m, kf_idx = add_keyframe(m, frame, ts.Tcw, timestamp, obs_all)
+    ts = ts._replace(
+        ref_kf=kf_idx,
+        ref_matches=jnp.sum((obs_all >= 0).astype(jnp.int32)),
+        n_since_kf=jnp.asarray(0, jnp.int32),
+        last_obs=obs_all,
+    )
+    return m, ts

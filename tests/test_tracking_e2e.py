@@ -1,0 +1,110 @@
+"""End-to-end tracking on synthetic sequences — the M1 acceptance slice
+(SURVEY.md §8.2: sequence in -> trajectory out -> ATE evaluated)."""
+
+import numpy as np
+import pytest
+
+from lc_crf_slam_tpu.config import SLAMConfig
+from lc_crf_slam_tpu.geometry.camera import TUM3
+from lc_crf_slam_tpu.models.system import SLAMSystem
+from lc_crf_slam_tpu.utils.evaluate import evaluate_ate
+from lc_crf_slam_tpu.utils.synthetic import SyntheticWorld
+
+
+def run_observation_slam(world: SyntheticWorld, cfg=None, n=None):
+    slam = SLAMSystem(world.cam, cfg or SLAMConfig())
+    n = n or world.n_frames
+    for k in range(n):
+        f = world.frame(k)
+        slam.track_rgbd.__self__  # no-op; keeps linters quiet
+        slam.track_observations(f.uv, f.depth, f.desc, f.timestamp)
+    ts_est, poses_est = slam.get_trajectory()
+    ts_gt, poses_gt = world.groundtruth()
+    ate = evaluate_ate(ts_est, poses_est, ts_gt[:n], poses_gt[:n])
+    return slam, ate
+
+
+class TestTrackingObservations:
+    """Pipeline-only (front-end bypassed): static scene tracking."""
+
+    def test_static_scene_ate(self):
+        world = SyntheticWorld(
+            cam=TUM3, n_frames=30, n_static=600, n_dynamic=0, seed=1
+        )
+        slam, ate = run_observation_slam(world)
+        assert ate.rmse < 0.01, f"ATE {ate}"
+        assert all(s.get("status", 1) == 1 for s in slam.stats[1:]), "lost tracking"
+
+    def test_keyframes_created(self):
+        from lc_crf_slam_tpu.config import TrackingConfig
+
+        world = SyntheticWorld(
+            cam=TUM3, n_frames=20, n_static=600, n_dynamic=0, seed=2,
+            trajectory="line", depth_noise=0.003,
+        )
+        cfg = SLAMConfig(tracking=TrackingConfig(max_frames_between_kf=8))
+        slam, ate = run_observation_slam(world, cfg=cfg)
+        assert int(slam.map.n_kfs) >= 2, "no keyframes beyond init"
+        assert ate.rmse < 0.03, f"ATE {ate}"
+
+    def test_zero_noise_near_exact(self):
+        """Regression test for the f32 small-angle/orthogonality bugs:
+        with exact observations the trajectory must be exact."""
+        world = SyntheticWorld(
+            cam=TUM3, n_frames=20, n_static=500, n_dynamic=0, seed=3,
+            pixel_noise=0.0, depth_noise=0.0, desc_flip_prob=0.0,
+        )
+        slam, ate = run_observation_slam(world)
+        assert ate.rmse < 1e-4, f"ATE {ate}"
+
+    def test_trajectory_export(self, tmp_path):
+        world = SyntheticWorld(
+            cam=TUM3, n_frames=10, n_static=400, n_dynamic=0, seed=4
+        )
+        slam, _ = run_observation_slam(world)
+        p1 = str(tmp_path / "traj.txt")
+        p2 = str(tmp_path / "kf.txt")
+        slam.save_trajectory_tum(p1)
+        slam.save_keyframe_trajectory_tum(p2)
+        from lc_crf_slam_tpu.utils.io_tum import read_trajectory_tum
+
+        ts, poses = read_trajectory_tum(p1)
+        assert len(ts) == 10 and poses.shape == (10, 4, 4)
+
+    def test_reset(self):
+        world = SyntheticWorld(cam=TUM3, n_frames=5, n_static=300, n_dynamic=0)
+        slam, _ = run_observation_slam(world, n=5)
+        slam.reset()
+        assert not slam.initialized and int(slam.map.n_points) == 0
+        # can track again after reset
+        f = world.frame(0)
+        slam.track_observations(f.uv, f.depth, f.desc, 0.0)
+        assert slam.initialized
+
+
+@pytest.mark.slow
+class TestTrackingImages:
+    """Full pipeline including the image front-end."""
+
+    def test_rendered_sequence_smoke(self):
+        """Smoke: the full image pipeline runs and tracks the first frames.
+
+        The dot-splat renderer's white-noise textures give marginal
+        descriptor repeatability (unlike natural images), so this is a
+        plumbing test, not an accuracy gate; accuracy is gated on the
+        observation-level tests above until the renderer warps a global
+        texture (TODO M2+).
+        """
+        world = SyntheticWorld(
+            cam=TUM3, n_frames=10, n_static=500, n_dynamic=0, seed=5,
+            pixel_noise=0.0, depth_noise=0.0,
+        )
+        slam = SLAMSystem(TUM3, SLAMConfig())
+        for k in range(4):
+            f = world.frame(k, render=True)
+            Tcw = slam.track_rgbd(f.image, f.depth_image, f.timestamp)
+        assert np.all(np.isfinite(Tcw))
+        T_true = np.linalg.inv(world.gt_pose_twc(3))
+        err = np.linalg.norm(Tcw[:3, 3] - T_true[:3, 3])
+        assert err < 0.05, f"early-frame tracking err {err}"
+        assert slam.stats[-1]["n_inliers"] > 50
