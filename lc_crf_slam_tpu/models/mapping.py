@@ -1,0 +1,327 @@
+"""Local mapping: window selection, local BA, culling, fusion.
+
+TPU-native counterpart of the reference's `LocalMapping.cc` worker
+thread (SURVEY.md §4.3): on each new keyframe — covisibility window
+selection, local bundle adjustment over (covisible KFs + their points +
+fixed observers) with the 5+10 LM schedule and chi2 pruning, map-point
+culling (found/visible < 0.25, early-observation rule), duplicate
+fusion (SearchInNeighbors/Fuse via batched projection + Hamming), and
+keyframe culling (>=90% redundancy). Differences by design:
+  - window membership and edges are fixed-capacity masked tables;
+  - fusion re-points references with one gather (replace_map) instead
+    of MapPoint::Replace pointer surgery;
+  - scale-consistency in KF culling uses observation counts only
+    (the reference also compares pyramid levels).
+Triangulation of new far points (CreateNewMapPoints) is deferred: the
+RGB-D path creates depth-backed points at KF insertion (tracking.py),
+which covers the reference's dominant point source for these configs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..geometry.camera import Pinhole
+from ..ops.match import hamming_matrix, projection_gate
+from ..ops.schur import BAProblem, solve_ba_with_outlier_rounds
+from .mapstate import MapState, covisibility
+
+BA_CAMS = 32          # local window + fixed observers
+BA_POINTS = 4096
+BA_EDGES = BA_CAMS * 1024
+
+
+def _select_window(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array):
+    """Local KFs (covisibility-connected, reference GetVectorCovisible) +
+    fixed observer KFs. Returns (cam_ids (C,), cam_fixed (C,), point_ids
+    (P,), point_ok (P,))."""
+    W = cfg.local_ba.max_local_kfs
+    Ffix = BA_CAMS - W
+    covis = covisibility(m)                       # (F, F)
+    row = covis[kf_idx] * m.kf_alive              # (F,)
+    row = row.at[kf_idx].set(0.0)
+    w_top, nbr = jax.lax.top_k(row, W - 1)
+    nbr_ok = w_top >= cfg.mapping.covisibility_min_weight
+    local_ids = jnp.concatenate([kf_idx[None], jnp.where(nbr_ok, nbr, -1)])
+    is_local = jnp.zeros((m.capacity_kfs,), bool).at[
+        jnp.where(local_ids >= 0, local_ids, m.capacity_kfs - 1)
+    ].set(local_ids >= 0)
+
+    # points observed by the local window
+    P = m.capacity_points
+    obs = jnp.where(
+        is_local[:, None, None] & m.kf_valid[:, :, None],
+        m.kf_obs[:, :, None], -1,
+    ).reshape(-1)
+    pmask = jnp.zeros((P + 1,), bool).at[jnp.where(obs >= 0, obs, P)].set(True)
+    pmask = pmask[:P] & m.p_alive
+    psel_score = pmask.astype(jnp.float32)
+    _, point_ids = jax.lax.top_k(psel_score, BA_POINTS)
+    point_ok = pmask[point_ids]
+
+    # fixed observers: KFs seeing selected points but not local
+    sel_mask = jnp.zeros((P + 1,), bool).at[
+        jnp.where(point_ok, point_ids, P)
+    ].set(point_ok)
+    sees = jnp.sum(
+        (sel_mask[jnp.where(m.kf_obs >= 0, m.kf_obs, P)] & m.kf_valid),
+        axis=1,
+    ) * m.kf_alive  # (F,) count of selected points seen
+    sees = jnp.where(is_local, 0, sees)
+    f_top, fix_ids = jax.lax.top_k(sees.astype(jnp.float32), Ffix)
+    fix_ok = f_top > 0
+    fixed_ids = jnp.where(fix_ok, fix_ids, -1)
+
+    cam_ids = jnp.concatenate([local_ids, fixed_ids])      # (C,)
+    # gauge: KF0 is never optimized (reference pKF->mnId==0 fixed)
+    cam_fixed = jnp.concatenate(
+        [local_ids == 0, jnp.ones((Ffix,), bool)]
+    )
+    cam_fixed = cam_fixed | (cam_ids < 0)
+    return cam_ids, cam_fixed, point_ids, point_ok
+
+
+def _build_problem(
+    cfg: SLAMConfig, m: MapState, cam_ids, cam_fixed, point_ids, point_ok
+) -> BAProblem:
+    C = cam_ids.shape[0]
+    K = m.kf_obs.shape[1]
+    P = m.capacity_points
+    slot_of_point = jnp.full((P + 1,), -1, jnp.int32).at[
+        jnp.where(point_ok, point_ids, P)
+    ].set(jnp.where(point_ok, jnp.arange(BA_POINTS, dtype=jnp.int32), -1))
+
+    kf_safe = jnp.maximum(cam_ids, 0)
+    obs = m.kf_obs[kf_safe]            # (C, K)
+    valid = (
+        (cam_ids >= 0)[:, None]
+        & m.kf_valid[kf_safe]
+        & (obs >= 0)
+    )
+    pt_slot = slot_of_point[jnp.where(valid, obs, P)]
+    valid &= pt_slot >= 0
+
+    e_cam = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, K))
+    inv_sigma2 = (1.0 / cfg.orb.scale_factor**2) ** m.kf_level[
+        kf_safe
+    ].astype(jnp.float32)
+
+    return BAProblem(
+        cam_Tcw=m.kf_Tcw[kf_safe],
+        cam_fixed=cam_fixed,
+        p_xyz=m.p_xyz[point_ids],
+        p_valid=point_ok,
+        e_cam=e_cam.reshape(-1),
+        e_pt=jnp.maximum(pt_slot, 0).reshape(-1),
+        e_uv=m.kf_uv[kf_safe].reshape(-1, 2),
+        e_ur=m.kf_ur[kf_safe].reshape(-1),
+        e_w=inv_sigma2.reshape(-1),
+        e_valid=valid.reshape(-1),
+    )
+
+
+def local_bundle_adjustment(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
+) -> MapState:
+    """Optimizer::LocalBundleAdjustment equivalent; writes back poses,
+    points, and prunes outlier observations."""
+    cam_ids, cam_fixed, point_ids, point_ok = _select_window(cfg, m, kf_idx)
+    prob = _build_problem(cfg, m, cam_ids, cam_fixed, point_ids, point_ok)
+    cam_out, p_out, keep, stats = solve_ba_with_outlier_rounds(
+        cam, prob,
+        iters_1=cfg.local_ba.outer_iters_1,
+        iters_2=cfg.local_ba.outer_iters_2,
+        huber_delta=cfg.local_ba.huber_delta,
+        chi2_mono=cfg.local_ba.chi2_mono,
+        chi2_stereo=cfg.local_ba.chi2_stereo,
+    )
+    # write back optimized camera poses (non-fixed, real slots)
+    upd_cam = (~cam_fixed) & (cam_ids >= 0)
+    tgt_kf = jnp.where(upd_cam, cam_ids, m.capacity_kfs)
+    m = m._replace(
+        kf_Tcw=m.kf_Tcw.at[tgt_kf].set(cam_out, mode="drop")
+    )
+    # write back refined points
+    tgt_pt = jnp.where(point_ok, point_ids, m.capacity_points)
+    m = m._replace(p_xyz=m.p_xyz.at[tgt_pt].set(p_out, mode="drop"))
+    # prune outlier observations (reference erases bad edges after BA)
+    C, K = cam_ids.shape[0], m.kf_obs.shape[1]
+    pruned = prob.e_valid & ~keep          # (C*K,)
+    pruned = pruned.reshape(C, K)
+    kf_safe = jnp.maximum(cam_ids, 0)
+    new_obs_rows = jnp.where(pruned, -1, m.kf_obs[kf_safe])
+    m = m._replace(
+        kf_obs=m.kf_obs.at[
+            jnp.where(cam_ids >= 0, cam_ids, m.capacity_kfs)
+        ].set(new_obs_rows, mode="drop")
+    )
+    # decrement n_obs of pruned points
+    pruned_pts = jnp.where(pruned, m.kf_obs[kf_safe], -1).reshape(-1)
+    m = m._replace(
+        p_n_obs=m.p_n_obs.at[
+            jnp.where(pruned_pts >= 0, pruned_pts, m.capacity_points)
+        ].add(-1, mode="drop")
+    )
+    return m
+
+
+def cull_points(cfg: SLAMConfig, m: MapState) -> MapState:
+    """MapPointCulling: low found/visible ratio, or too few observations
+    while mature. CRF-dynamic culling composes here in M3
+    (SURVEY.md §4.3 [CRF])."""
+    ratio = m.p_found.astype(jnp.float32) / jnp.maximum(
+        m.p_visible.astype(jnp.float32), 1.0
+    )
+    bad_ratio = (ratio < cfg.mapping.cull_found_ratio) & (m.p_visible >= 4)
+    mature = (m.n_kfs - m.p_first_kf) >= 2
+    too_few = mature & (m.p_n_obs < cfg.mapping.cull_min_obs)
+    dynamic = cfg.crf.enabled & (m.p_dyn > cfg.crf.dynamic_threshold)
+    kill = m.p_alive & (bad_ratio | too_few | dynamic)
+    return m._replace(p_alive=m.p_alive & ~kill)
+
+
+def fuse_duplicates(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
+) -> MapState:
+    """SearchInNeighbors/Fuse for the target keyframe: features of kf_idx
+    whose descriptor+position match another existing point get merged —
+    the lower-observation point dies and all references re-point."""
+    K = m.kf_obs.shape[1]
+    Tcw = m.kf_Tcw[kf_idx]
+    pc = m.p_xyz @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = pc[:, 2]
+    uvp = jnp.stack(
+        [
+            cam.fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+            cam.fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cam.cy,
+        ],
+        axis=-1,
+    )
+    vis = (
+        m.p_alive & (z > 0.05)
+        & (uvp[:, 0] >= 0) & (uvp[:, 0] < cam.width)
+        & (uvp[:, 1] >= 0) & (uvp[:, 1] < cam.height)
+    )
+    _, cand_ids = jax.lax.top_k(vis.astype(jnp.float32), BA_POINTS)
+    cand_ok = vis[cand_ids]
+
+    f_uv = m.kf_uv[kf_idx]
+    f_desc = m.kf_desc[kf_idx]
+    f_valid = m.kf_valid[kf_idx]
+    f_obs = m.kf_obs[kf_idx]
+    f_depth = m.kf_depth[kf_idx]
+    # reference direction: project each candidate POINT and find its best
+    # feature (Fuse loops over points; the feature's existing point then
+    # decides merge-vs-add)
+    gate = projection_gate(uvp[cand_ids], f_uv, 2.5)          # (L, K)
+    gate &= cand_ok[:, None] & f_valid[None, :]
+    dc = jnp.abs(f_depth[None, :] - z[cand_ids][:, None]) <= 0.2 * jnp.maximum(
+        f_depth[None, :], 0.5
+    )
+    gate &= jnp.where((f_depth > 0)[None, :], dc, True)
+    dist = hamming_matrix(m.p_desc[cand_ids], f_desc)          # (L, K)
+    dist = jnp.where(gate, dist, 10_000)
+    best_f = jnp.argmin(dist, axis=1)                          # (L,)
+    best_d = jnp.take_along_axis(dist, best_f[:, None], axis=1)[:, 0]
+    good = (best_d <= cfg.matcher.th_low) & cand_ok
+    # the point must not already be the feature's own observation
+    existing = f_obs[best_f]                                   # (L,)
+    P = m.capacity_points
+
+    # case 1: feature has a different point -> merge (keep more-observed)
+    mergeable = good & (existing >= 0) & (existing != cand_ids)
+    a = jnp.where(mergeable, existing, 0)
+    b = jnp.where(mergeable, cand_ids, 0)
+    keep_b = m.p_n_obs[b] >= m.p_n_obs[a]
+    dup = jnp.where(mergeable, jnp.where(keep_b, a, b), -1)
+    tgt = jnp.where(mergeable, jnp.where(keep_b, b, a), -1)
+    replace_map = jnp.arange(P + 1, dtype=jnp.int32).at[
+        jnp.where(dup >= 0, dup, P)
+    ].set(jnp.where(dup >= 0, tgt, P).astype(jnp.int32))
+    replace_map = replace_map.at[P].set(-1)
+    new_kf_obs = jnp.where(
+        m.kf_obs >= 0, replace_map[jnp.where(m.kf_obs >= 0, m.kf_obs, P)],
+        m.kf_obs,
+    )
+    alive = m.p_alive.at[jnp.where(dup >= 0, dup, P)].set(False, mode="drop")
+    gained = jnp.zeros((P + 1,), jnp.int32).at[
+        jnp.where(dup >= 0, tgt, P)
+    ].add(jnp.where(dup >= 0, m.p_n_obs[jnp.maximum(dup, 0)], 0))
+    m = m._replace(
+        kf_obs=new_kf_obs,
+        p_alive=alive,
+        p_n_obs=m.p_n_obs + gained[:P],
+    )
+
+    # case 2: feature has no observation -> attach the point
+    addable = good & (existing < 0)
+    # resolve collisions (two points claiming one feature): lowest dist wins
+    claim_d = jnp.full((m.kf_obs.shape[1],), 10_000, jnp.int32).at[
+        jnp.where(addable, best_f, m.kf_obs.shape[1] - 1)
+    ].min(jnp.where(addable, best_d, 10_000))
+    win = addable & (best_d <= claim_d[best_f])
+    add_pt = jnp.where(win, replace_map[jnp.where(win, cand_ids, P)], -1)
+    K_feat = m.kf_obs.shape[1]
+    claimed = jnp.full((K_feat + 1,), -1, jnp.int32).at[
+        jnp.where(win, best_f, K_feat)
+    ].set(jnp.where(win, add_pt, -1))[:K_feat]
+    row = m.kf_obs[kf_idx]
+    new_row = jnp.where((row < 0) & (claimed >= 0), claimed, row)
+    attached = (row < 0) & (claimed >= 0)
+    m = m._replace(
+        kf_obs=m.kf_obs.at[kf_idx].set(new_row),
+        p_n_obs=m.p_n_obs.at[
+            jnp.where(attached, claimed, P)
+        ].add(1, mode="drop"),
+    )
+    return m
+
+
+def cull_keyframes(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> MapState:
+    """KeyFrameCulling over the covisibility neighbors of kf_idx: a KF is
+    redundant when >=90% of its observed points have >=4 total
+    observations (i.e. seen by >=3 other KFs)."""
+    covis = covisibility(m)
+    row = covis[kf_idx] * m.kf_alive
+    row = row.at[kf_idx].set(0.0)
+    _, nbrs = jax.lax.top_k(row, cfg.local_ba.max_local_kfs)
+    nbr_ok = (row[nbrs] >= cfg.mapping.covisibility_min_weight) & (nbrs != 0)
+
+    obs = m.kf_obs[nbrs]                                    # (W, K)
+    valid = m.kf_valid[nbrs] & (obs >= 0)
+    n_obs = m.p_n_obs[jnp.maximum(obs, 0)]
+    redundant_obs = valid & (n_obs >= 4)
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
+    frac = jnp.sum(redundant_obs.astype(jnp.int32), axis=1) / jnp.maximum(
+        n_valid, 1
+    )
+    kill = nbr_ok & (frac >= cfg.mapping.kf_cull_redundancy) & (n_valid > 20)
+    F = m.capacity_kfs
+    tgt = jnp.where(kill, nbrs, F)
+    m = m._replace(
+        kf_alive=m.kf_alive.at[tgt].set(False, mode="drop")
+    )
+    # decrement observation counts of the killed KFs' points
+    dead_obs = jnp.where(kill[:, None] & valid, obs, -1).reshape(-1)
+    m = m._replace(
+        p_n_obs=m.p_n_obs.at[
+            jnp.where(dead_obs >= 0, dead_obs, m.capacity_points)
+        ].add(-1, mode="drop")
+    )
+    return m
+
+
+def mapping_step(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
+) -> MapState:
+    """LocalMapping::Run body for one keyframe: fuse -> local BA -> cull
+    points -> cull keyframes."""
+    m = fuse_duplicates(cfg, cam, m, kf_idx)
+    m = local_bundle_adjustment(cfg, cam, m, kf_idx)
+    m = cull_points(cfg, m)
+    m = cull_keyframes(cfg, m, kf_idx)
+    return m

@@ -25,6 +25,7 @@ from ..geometry.camera import Pinhole
 from ..geometry.se3 import se3_inverse
 from .frame import Frame, build_frame, frame_from_observations
 from .mapstate import MapState, empty_map
+from .mapping import mapping_step
 from .tracking import (
     TrackState,
     empty_track_state,
@@ -60,7 +61,7 @@ class SLAMSystem:
         self._init_map = jax.jit(initialize_map, static_argnums=(0, 1))
         self._track = jax.jit(track_step, static_argnums=(0, 1))
         self._insert_kf = jax.jit(insert_keyframe, static_argnums=(0, 1))
-        self._mapping = None  # bound lazily (M2)
+        self._mapping = jax.jit(mapping_step, static_argnums=(0, 1))
         self._crf = None      # bound lazily (M3)
 
     # ------------------------------------------------------------------ api

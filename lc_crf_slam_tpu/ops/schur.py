@@ -1,0 +1,226 @@
+"""Sparse Schur-complement Levenberg-Marquardt bundle adjustment.
+
+The TPU-native replacement for the reference's vendored g2o
+(SURVEY.md §3.2: SparseOptimizer + BlockSolver + Schur complement over
+landmark blocks). Design per SURVEY.md §8.3#1: fixed-capacity edge
+tables + segment ops instead of pointer graphs —
+  - per-edge residuals/Jacobians batched over all observations,
+  - Hessian blocks assembled with scatter-adds,
+  - the camera-point coupling W held as a dense (P, C) block tensor
+    (local windows are small: C<=32, P<=4096 -> ~10 MB, MXU-friendly),
+  - Schur reduction S = Hcc - W Hpp^-1 W^T as one einsum,
+  - dense Cholesky/LU solve of the reduced (6C, 6C) camera system,
+  - point back-substitution, all inside an LM accept/reject loop.
+Fixed cameras (gauge) enter with zeroed camera Jacobians.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import Pinhole
+from ..geometry.se3 import exp_se3, hat_so3
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity bundle-adjustment problem.
+
+    C cameras, P points, E observations (edges). Invalid slots are masked.
+    """
+
+    cam_Tcw: jax.Array    # (C, 4, 4)
+    cam_fixed: jax.Array  # (C,) bool — gauge/anchor cameras
+    p_xyz: jax.Array      # (P, 3)
+    p_valid: jax.Array    # (P,) bool
+    e_cam: jax.Array      # (E,) int32 camera slot
+    e_pt: jax.Array       # (E,) int32 point slot
+    e_uv: jax.Array       # (E, 2) observed pixels
+    e_ur: jax.Array       # (E,) observed virtual-right u (-1 = mono)
+    e_w: jax.Array        # (E,) information weight (inv sigma^2 by level)
+    e_valid: jax.Array    # (E,) bool
+
+
+class BAStats(NamedTuple):
+    cost: jax.Array        # robust total cost after optimization
+    n_edges: jax.Array     # active edges
+    edge_chi2: jax.Array   # (E,) final per-edge chi2 (for outlier pruning)
+
+
+def _edge_residuals(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem):
+    """Residual (E, 3), camera Jacobian (E, 3, 6), point Jacobian (E, 3, 3),
+    and positive-depth mask (E,)."""
+    T = cam_Tcw[prob.e_cam]             # (E, 4, 4)
+    pw = p_xyz[prob.e_pt]               # (E, 3)
+    R = T[:, :3, :3]
+    pc = jnp.einsum("eij,ej->ei", R, pw) + T[:, :3, 3]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_ok = z > 1e-3
+    zs = jnp.where(z_ok, z, 1.0)
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    is_stereo = prob.e_ur >= 0
+    r = jnp.stack(
+        [
+            u - prob.e_uv[:, 0],
+            v - prob.e_uv[:, 1],
+            jnp.where(is_stereo, ur - prob.e_ur, 0.0),
+        ],
+        axis=-1,
+    )
+    zero = jnp.zeros_like(z)
+    du = jnp.stack([cam.fx * inv_z, zero, -cam.fx * x * inv_z2], -1)
+    dv = jnp.stack([zero, cam.fy * inv_z, -cam.fy * y * inv_z2], -1)
+    dr = du + jnp.stack([zero, zero, cam.bf * inv_z2], -1)
+    dr = jnp.where(is_stereo[:, None], dr, 0.0)
+    d_pc = jnp.stack([du, dv, dr], axis=-2)  # (E, 3, 3)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3))
+    J_cam = d_pc @ jnp.concatenate([I3, -hat_so3(pc)], axis=-1)  # (E, 3, 6)
+    J_pt = d_pc @ R                                              # (E, 3, 3)
+    return r, J_cam, J_pt, z_ok
+
+
+def _robust_weights(r, e_w, active, huber_delta):
+    chi2 = jnp.sum(r * r, axis=-1) * e_w
+    s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    w_huber = jnp.where(s <= huber_delta, 1.0, huber_delta / s)
+    w = jnp.where(active, e_w * w_huber, 0.0)
+    rho = jnp.where(
+        s <= huber_delta, chi2, 2.0 * huber_delta * s - huber_delta * huber_delta
+    )
+    cost = jnp.sum(jnp.where(active, rho, 0.0))
+    return chi2, w, cost
+
+
+def _lm_step(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem, lam, huber_delta):
+    """One assemble + Schur solve + back-substitution; returns candidate
+    (cam_Tcw', p_xyz')."""
+    C = cam_Tcw.shape[0]
+    P = p_xyz.shape[0]
+    r, J_cam, J_pt, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
+    active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
+    _, w, _ = _robust_weights(r, prob.e_w, active, huber_delta)
+    # gauge: fixed cameras contribute no camera Jacobian
+    J_cam = J_cam * (1.0 - prob.cam_fixed[prob.e_cam].astype(J_cam.dtype))[:, None, None]
+
+    wJc = w[:, None, None] * J_cam
+    # camera blocks
+    Hcc = jnp.zeros((C, 6, 6)).at[prob.e_cam].add(
+        jnp.einsum("eij,eik->ejk", wJc, J_cam)
+    )
+    g_c = jnp.zeros((C, 6)).at[prob.e_cam].add(
+        jnp.einsum("eij,ei->ej", wJc, r)
+    )
+    # point blocks
+    Hpp = jnp.zeros((P, 3, 3)).at[prob.e_pt].add(
+        jnp.einsum("eij,eik->ejk", w[:, None, None] * J_pt, J_pt)
+    )
+    g_p = jnp.zeros((P, 3)).at[prob.e_pt].add(
+        jnp.einsum("eij,ei->ej", w[:, None, None] * J_pt, r)
+    )
+    # coupling W as dense (P, C) blocks
+    Wpc = jnp.zeros((P * C, 6, 3)).at[prob.e_pt * C + prob.e_cam].add(
+        jnp.einsum("eij,eik->ejk", wJc, J_pt)
+    ).reshape(P, C, 6, 3)
+
+    # damped point-block inverse
+    diag_p = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp))
+    Hpp_d = Hpp + lam * diag_p + 1e-6 * jnp.eye(3)
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+    # Schur complement on the MXU: S = Hcc_d - W Hpp^-1 W^T
+    Tpc = jnp.einsum("pcia,pab->pcib", Wpc, Hpp_inv)  # (P, C, 6, 3)
+    S_red = jnp.einsum("pcia,pdja->cidj", Tpc, Wpc)   # (C, 6, C, 6)
+    diag_c = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc))
+    Hcc_d = Hcc + lam * diag_c
+    S = -S_red
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc_d)
+    S = S.reshape(C * 6, C * 6)
+    # keep fixed/empty camera blocks invertible
+    fixed_diag = jnp.repeat(
+        prob.cam_fixed.astype(S.dtype), 6
+    ) + (jnp.abs(jnp.diagonal(S)) < 1e-8).astype(S.dtype)
+    S = S + jnp.diag(fixed_diag + 1e-6)
+
+    rhs = (g_c - jnp.einsum("pcia,pa->ci", Tpc, g_p)).reshape(C * 6)
+    delta_c = -jnp.linalg.solve(S, rhs).reshape(C, 6)
+    delta_c = delta_c * (1.0 - prob.cam_fixed.astype(delta_c.dtype))[:, None]
+
+    # back-substitute points: dp = -Hpp^-1 (g_p + sum_c W^T dc)
+    Wt_dc = jnp.einsum("pcia,ci->pa", Wpc, delta_c)
+    delta_p = -jnp.einsum("pab,pb->pa", Hpp_inv, g_p + Wt_dc)
+    has_obs = jnp.einsum("pii->p", Hpp) > 0
+    delta_p = jnp.where((prob.p_valid & has_obs)[:, None], delta_p, 0.0)
+
+    cam_new = exp_se3(delta_c) @ cam_Tcw
+    p_new = p_xyz + delta_p
+    return cam_new, p_new
+
+
+def solve_ba(
+    cam: Pinhole,
+    prob: BAProblem,
+    n_iters: int = 10,
+    huber_delta: float = 2.7955,
+    init_lambda: float = 1e-4,
+) -> Tuple[jax.Array, jax.Array, BAStats]:
+    """LM loop with accept/reject. Returns (cam_Tcw', p_xyz', stats)."""
+
+    def total_cost(cam_Tcw, p_xyz):
+        r, _, _, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
+        active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
+        chi2, _, cost = _robust_weights(r, prob.e_w, active, huber_delta)
+        return chi2, cost
+
+    def body(_, carry):
+        cam_Tcw, p_xyz, lam = carry
+        cam_new, p_new = _lm_step(cam, cam_Tcw, p_xyz, prob, lam, huber_delta)
+        _, f_old = total_cost(cam_Tcw, p_xyz)
+        _, f_new = total_cost(cam_new, p_new)
+        accept = f_new < f_old
+        cam_Tcw = jnp.where(accept, cam_new, cam_Tcw)
+        p_xyz = jnp.where(accept, p_new, p_xyz)
+        lam = jnp.clip(
+            jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e6
+        )
+        return cam_Tcw, p_xyz, lam
+
+    cam_Tcw, p_xyz, _ = jax.lax.fori_loop(
+        0, n_iters, body,
+        (prob.cam_Tcw, prob.p_xyz, jnp.asarray(init_lambda, jnp.float32)),
+    )
+    chi2, cost = total_cost(cam_Tcw, p_xyz)
+    stats = BAStats(
+        cost=cost,
+        n_edges=jnp.sum(prob.e_valid.astype(jnp.int32)),
+        edge_chi2=chi2,
+    )
+    return cam_Tcw, p_xyz, stats
+
+
+def solve_ba_with_outlier_rounds(
+    cam: Pinhole,
+    prob: BAProblem,
+    iters_1: int = 5,
+    iters_2: int = 10,
+    huber_delta: float = 2.7955,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+):
+    """The reference's LocalBundleAdjustment schedule: 5 LM iterations,
+    prune chi2 outliers, 10 more iterations. Returns the pruned edge mask
+    too (used to drop bad observations from the map)."""
+    cam_Tcw, p_xyz, stats = solve_ba(cam, prob, iters_1, huber_delta)
+    chi2_th = jnp.where(prob.e_ur >= 0, chi2_stereo, chi2_mono)
+    keep = prob.e_valid & (stats.edge_chi2 < chi2_th)
+    prob2 = prob._replace(
+        cam_Tcw=cam_Tcw, p_xyz=p_xyz, e_valid=keep
+    )
+    cam_Tcw, p_xyz, stats2 = solve_ba(cam, prob2, iters_2, huber_delta)
+    keep2 = keep & (stats2.edge_chi2 < chi2_th)
+    return cam_Tcw, p_xyz, keep2, stats2
