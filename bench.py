@@ -1,0 +1,98 @@
+"""Benchmark: tracking frames/s per chip on the full image pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference's headline throughput is ~15-30 frames/s on a desktop CPU
+(BASELINE.md, unverified ballpark); vs_baseline is measured against
+30 fps.
+
+The whole N-frame tracking loop runs as a single jitted lax.scan on
+device (frame front-end + motion-model matching + two pose solves per
+frame) — no host round-trips inside the timed region.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 30.0
+N_FRAMES = 30
+
+
+def main():
+    from lc_crf_slam_tpu.config import SLAMConfig
+    from lc_crf_slam_tpu.geometry.camera import TUM3
+    from lc_crf_slam_tpu.models.frame import build_frame
+    from lc_crf_slam_tpu.models.mapstate import empty_map
+    from lc_crf_slam_tpu.models.tracking import initialize_map, track_step
+    from lc_crf_slam_tpu.utils.synthetic import SyntheticWorld
+
+    cfg = SLAMConfig()
+    cam = TUM3
+    world = SyntheticWorld(
+        cam=cam, n_frames=N_FRAMES + 1, n_static=600, n_dynamic=0, seed=0
+    )
+    frames = [world.frame(k, render=True) for k in range(N_FRAMES + 1)]
+    grays = jnp.asarray(
+        np.stack([f.image for f in frames[1:]]), jnp.float32
+    )
+    depths = jnp.asarray(
+        np.stack([f.depth_image for f in frames[1:]]), jnp.float32
+    )
+
+    m = empty_map(cfg)
+    frame0 = build_frame(
+        cam, cfg, jnp.asarray(frames[0].image), jnp.asarray(frames[0].depth_image)
+    )
+    m, ts = initialize_map(cfg, cam, m, frame0, jnp.asarray(0.0))
+
+    @jax.jit
+    def run_sequence(m, ts, grays, depths):
+        def step(carry, inputs):
+            m, ts = carry
+            gray, depth = inputs
+            frame = build_frame(cam, cfg, gray, depth)
+            ts2, m2, info = track_step(cfg, cam, m, ts, frame)
+            return (m2, ts2), info.n_inliers
+
+        (m, ts), inl = jax.lax.scan(step, (m, ts), (grays, depths))
+        return ts.Tcw, inl
+
+    # warm-up / compile
+    t0 = time.perf_counter()
+    Tcw, inl = run_sequence(m, ts, grays, depths)
+    jax.block_until_ready(Tcw)
+    compile_s = time.perf_counter() - t0
+
+    # timed runs
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        Tcw, inl = run_sequence(m, ts, grays, depths)
+        jax.block_until_ready(Tcw)
+        best = min(best, time.perf_counter() - t0)
+
+    fps = N_FRAMES / best
+    mean_inl = float(jnp.mean(inl))
+    result = {
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    print(json.dumps(result))
+    # diagnostics to stderr-ish (driver reads the one stdout JSON line)
+    import sys
+
+    print(
+        f"# compile={compile_s:.1f}s run={best*1e3:.1f}ms/{N_FRAMES}f "
+        f"mean_inliers={mean_inl:.0f} device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -116,17 +116,20 @@ class CRFConfig:
     w_reproj: float = 1.0           # long-term reprojection consistency
     w_depth: float = 1.0            # projected-vs-measured depth
     w_flow: float = 0.5             # short-term track / flow consistency
-    reproj_sigma: float = 2.0       # px
-    depth_sigma: float = 0.06       # relative depth error scale
+    reproj_sigma: float = 0.6       # px
+    depth_sigma: float = 0.03       # relative depth error scale
     flow_sigma: float = 2.0         # px
     prior_static: float = 0.6       # label prior
+    dynamic_bias: float = 4.0       # constant dynamic-label energy: a track
+                                    # whose normalized inconsistency energy
+                                    # exceeds this is labeled dynamic
     # pairwise
     knn: int = 8
-    pairwise_weight: float = 1.5
+    pairwise_weight: float = 2.0
     spatial_sigma: float = 0.35     # m, Gaussian kernel on 3D distance
     # consumption
     dynamic_threshold: float = 0.5  # P(dynamic) above this excludes point
-    history_decay: float = 0.9      # EMA decay for long-term evidence
+    history_decay: float = 0.8      # EMA decay for long-term evidence
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,7 @@ class MapState(NamedTuple):
     p_err_ema: jax.Array    # (P,) float32 long-term reprojection error EMA
     p_depth_err_ema: jax.Array  # (P,) float32 depth-consistency EMA
     p_flow_err: jax.Array   # (P,) float32 short-term track error
+    p_last_seen: jax.Array  # (P,) int32 frame index of last visibility
     p_alive: jax.Array      # (P,) bool
     # --- keyframes (capacity F, features K) ---
     kf_Tcw: jax.Array       # (F, 4, 4)
@@ -83,6 +84,7 @@ def empty_map(cfg: SLAMConfig) -> MapState:
         p_err_ema=jnp.zeros((P,), f32),
         p_depth_err_ema=jnp.zeros((P,), f32),
         p_flow_err=jnp.zeros((P,), f32),
+        p_last_seen=jnp.zeros((P,), i32),
         p_alive=jnp.zeros((P,), bool),
         kf_Tcw=jnp.tile(jnp.eye(4, dtype=f32), (F, 1, 1)),
         kf_time=jnp.zeros((F,), f32),
@@ -167,6 +169,9 @@ def add_points(
         p_err_ema=m.p_err_ema.at[tgt].set(0.0, mode="drop"),
         p_depth_err_ema=m.p_depth_err_ema.at[tgt].set(0.0, mode="drop"),
         p_flow_err=m.p_flow_err.at[tgt].set(0.0, mode="drop"),
+        p_last_seen=m.p_last_seen.at[tgt].set(
+            jnp.asarray(0, jnp.int32), mode="drop"
+        ),
         p_alive=m.p_alive.at[tgt].set(True, mode="drop"),
         n_points=jnp.minimum(
             m.n_points + jnp.sum(create.astype(jnp.int32)),

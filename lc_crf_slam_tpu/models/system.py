@@ -25,6 +25,7 @@ from ..geometry.camera import Pinhole
 from ..geometry.se3 import se3_inverse
 from .frame import Frame, build_frame, frame_from_observations
 from .mapstate import MapState, empty_map
+from .crf import crf_step
 from .mapping import mapping_step
 from .tracking import (
     TrackState,
@@ -62,7 +63,7 @@ class SLAMSystem:
         self._track = jax.jit(track_step, static_argnums=(0, 1))
         self._insert_kf = jax.jit(insert_keyframe, static_argnums=(0, 1))
         self._mapping = jax.jit(mapping_step, static_argnums=(0, 1))
-        self._crf = None      # bound lazily (M3)
+        self._crf = jax.jit(crf_step, static_argnums=(0,))
 
     # ------------------------------------------------------------------ api
     def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
@@ -105,13 +106,22 @@ class SLAMSystem:
                     )
                 self.kf_log.append((timestamp, int(self.ts.ref_kf)))
             if self.enable_crf and self._crf is not None:
-                self.map = self._crf(self.cfg, self.map)
+                self.map, crf_info = self._crf(
+                    self.cfg, self.map, self.ts.frame_idx
+                )
+                info_host_crf = {
+                    "n_dynamic": int(crf_info.n_dynamic),
+                    "crf_tracks": int(crf_info.n_tracks),
+                }
+            else:
+                info_host_crf = {}
             info_host = {
                 "n_mm": int(info.n_mm_matches),
                 "n_inliers": int(info.n_inliers),
                 "n_local": int(info.n_local_matches),
                 "need_kf": need_kf,
                 "status": int(self.ts.status),
+                **info_host_crf,
             }
 
         Tcw = np.asarray(self.ts.Tcw)

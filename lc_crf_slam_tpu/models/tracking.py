@@ -48,6 +48,7 @@ class TrackState(NamedTuple):
     last_desc: jax.Array    # (K, 8) uint32
     last_valid: jax.Array   # (K,) bool
     last_obs: jax.Array     # (K,) int32 map point per last-frame feature
+    frame_idx: jax.Array    # () int32 frames processed
     ref_kf: jax.Array       # () int32
     ref_matches: jax.Array  # () int32 inlier count when ref KF was made
     n_since_kf: jax.Array   # () int32
@@ -81,6 +82,7 @@ def empty_track_state(cfg: SLAMConfig) -> TrackState:
         last_desc=jnp.zeros((K, 8), jnp.uint32),
         last_valid=jnp.zeros((K,), bool),
         last_obs=jnp.full((K,), -1, i32),
+        frame_idx=jnp.asarray(0, i32),
         ref_kf=jnp.asarray(0, i32),
         ref_matches=jnp.asarray(0, i32),
         n_since_kf=jnp.asarray(0, i32),
@@ -285,8 +287,11 @@ def track_step(
     )
     # reference TrackLocalMap: the final solve uses MAP points only —
     # temporal VO anchors would re-inject last-frame pose error and turn
-    # tracking into a drifting random walk
-    assoc = obs >= 0
+    # tracking into a drifting random walk. [CRF] dynamic-labeled points
+    # are excluded from the edge set (SURVEY.md §4.5).
+    assoc = (obs >= 0) & (
+        m.p_dyn[jnp.maximum(obs, 0)] < cfg.crf.dynamic_threshold
+    )
     r2 = pose_optimize(
         cam, T1, pw_fin, frame.uv, frame.u_right, frame.level,
         assoc, cfg.pose_opt, cfg.orb.scale_factor,
@@ -310,7 +315,10 @@ def track_step(
     )
     vis_ids = jnp.where(local_ok, local_ids, m.capacity_points)
     m = m._replace(
-        p_visible=m.p_visible.at[vis_ids].add(1, mode="drop")
+        p_visible=m.p_visible.at[vis_ids].add(1, mode="drop"),
+        p_last_seen=m.p_last_seen.at[vis_ids].set(
+            ts.frame_idx + 1, mode="drop"
+        ),
     )
     matched_pts = jnp.where(inlier & (obs >= 0), obs, m.capacity_points)
     m = m._replace(
@@ -370,7 +378,11 @@ def track_step(
         last_angle=frame.angle,
         last_desc=frame.desc,
         last_valid=frame.valid,
-        last_obs=jnp.where(inlier, obs, -1),
+        # keep ALL map associations (reference: mvpMapPoints persists,
+        # mvbOutlier only gates optimization) — outlier-but-matched tracks
+        # must keep accumulating CRF inconsistency evidence
+        last_obs=obs,
+        frame_idx=ts.frame_idx + 1,
         n_since_kf=ts.n_since_kf + 1,
         status=status,
     )
@@ -420,6 +432,11 @@ def insert_keyframe(
     )
     m, new_ids = add_points(
         m, pw, frame.desc, normal, min_d, max_d, create, ts.ref_kf + 1
+    )
+    m = m._replace(
+        p_last_seen=m.p_last_seen.at[
+            jnp.where(new_ids >= 0, new_ids, m.capacity_points)
+        ].set(ts.frame_idx, mode="drop")
     )
     obs_all = jnp.where(obs >= 0, obs, new_ids)
     m, kf_idx = add_keyframe(m, frame, ts.Tcw, timestamp, obs_all)

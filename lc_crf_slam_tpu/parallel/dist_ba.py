@@ -1,0 +1,137 @@
+"""Distributed bundle adjustment: Schur reduction over ICI collectives.
+
+SURVEY.md §6.7/§6.8: observations (edges) shard across devices; each
+device assembles partial camera/point Hessian blocks for its edge shard,
+the blocks are `psum`-reduced over the mesh ('edge' axis), and the small
+reduced camera system is solved replicated. This is the BA analog of
+data-parallel gradient aggregation — the reduced system rides ICI, the
+dense solve stays local.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry.camera import Pinhole
+from ..geometry.se3 import exp_se3
+from ..ops.schur import (
+    BAProblem,
+    BAStats,
+    _edge_residuals,
+    _robust_weights,
+)
+
+
+def _partial_blocks(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem,
+                    huber_delta: float):
+    """Local-edge-shard block assembly (runs inside shard_map)."""
+    C = cam_Tcw.shape[0]
+    P_ = p_xyz.shape[0]
+    r, J_cam, J_pt, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
+    active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
+    _, w, cost = _robust_weights(r, prob.e_w, active, huber_delta)
+    J_cam = J_cam * (
+        1.0 - prob.cam_fixed[prob.e_cam].astype(J_cam.dtype)
+    )[:, None, None]
+    wJc = w[:, None, None] * J_cam
+    Hcc = jnp.zeros((C, 6, 6)).at[prob.e_cam].add(
+        jnp.einsum("eij,eik->ejk", wJc, J_cam))
+    g_c = jnp.zeros((C, 6)).at[prob.e_cam].add(
+        jnp.einsum("eij,ei->ej", wJc, r))
+    Hpp = jnp.zeros((P_, 3, 3)).at[prob.e_pt].add(
+        jnp.einsum("eij,eik->ejk", w[:, None, None] * J_pt, J_pt))
+    g_p = jnp.zeros((P_, 3)).at[prob.e_pt].add(
+        jnp.einsum("eij,ei->ej", w[:, None, None] * J_pt, r))
+    Wpc = jnp.zeros((P_ * C, 6, 3)).at[prob.e_pt * C + prob.e_cam].add(
+        jnp.einsum("eij,eik->ejk", wJc, J_pt)).reshape(P_, C, 6, 3)
+    return Hcc, g_c, Hpp, g_p, Wpc, cost
+
+
+def _solve_from_blocks(cam_Tcw, p_xyz, prob, blocks, lam):
+    """Replicated Schur solve + back-substitution from reduced blocks."""
+    Hcc, g_c, Hpp, g_p, Wpc = blocks
+    C = cam_Tcw.shape[0]
+    diag_p = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp))
+    Hpp_inv = jnp.linalg.inv(Hpp + lam * diag_p + 1e-6 * jnp.eye(3))
+    Tpc = jnp.einsum("pcia,pab->pcib", Wpc, Hpp_inv)
+    S_red = jnp.einsum("pcia,pdja->cidj", Tpc, Wpc)
+    diag_c = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc))
+    S = -S_red
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc + lam * diag_c)
+    S = S.reshape(C * 6, C * 6)
+    fixed_diag = jnp.repeat(prob.cam_fixed.astype(S.dtype), 6) + (
+        jnp.abs(jnp.diagonal(S)) < 1e-8
+    ).astype(S.dtype)
+    S = S + jnp.diag(fixed_diag + 1e-6)
+    rhs = (g_c - jnp.einsum("pcia,pa->ci", Tpc, g_p)).reshape(C * 6)
+    delta_c = -jnp.linalg.solve(S, rhs).reshape(C, 6)
+    delta_c = delta_c * (1.0 - prob.cam_fixed.astype(delta_c.dtype))[:, None]
+    Wt_dc = jnp.einsum("pcia,ci->pa", Wpc, delta_c)
+    delta_p = -jnp.einsum("pab,pb->pa", Hpp_inv, g_p + Wt_dc)
+    has_obs = jnp.einsum("pii->p", Hpp) > 0
+    delta_p = jnp.where((prob.p_valid & has_obs)[:, None], delta_p, 0.0)
+    return exp_se3(delta_c) @ cam_Tcw, p_xyz + delta_p
+
+
+def dist_solve_ba(
+    cam: Pinhole,
+    prob: BAProblem,
+    mesh: Mesh,
+    n_iters: int = 10,
+    huber_delta: float = 2.7955,
+    init_lambda: float = 1e-4,
+) -> Tuple[jax.Array, jax.Array, BAStats]:
+    """Edge-sharded LM bundle adjustment over a device mesh.
+
+    Same semantics as ops.schur.solve_ba; edge arrays of `prob` must have
+    length divisible by the mesh size (pad with e_valid=False).
+    """
+    e_spec = BAProblem(
+        cam_Tcw=P(), cam_fixed=P(), p_xyz=P(), p_valid=P(),
+        e_cam=P("edge"), e_pt=P("edge"), e_uv=P("edge"), e_ur=P("edge"),
+        e_w=P("edge"), e_valid=P("edge"),
+    )
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), e_spec),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+    )
+    def reduced_blocks(cam_Tcw, p_xyz, prob_l):
+        out = _partial_blocks(cam, cam_Tcw, p_xyz, prob_l, huber_delta)
+        return jax.tree.map(lambda x: jax.lax.psum(x, "edge"), out)
+
+    def total_cost(cam_Tcw, p_xyz):
+        # cost is part of the reduced blocks (cheap: reuse assembly)
+        *_, cost = reduced_blocks(cam_Tcw, p_xyz, prob)
+        return cost
+
+    def body(_, carry):
+        cam_Tcw, p_xyz, lam = carry
+        Hcc, g_c, Hpp, g_p, Wpc, f_old = reduced_blocks(cam_Tcw, p_xyz, prob)
+        cam_new, p_new = _solve_from_blocks(
+            cam_Tcw, p_xyz, prob, (Hcc, g_c, Hpp, g_p, Wpc), lam
+        )
+        f_new = total_cost(cam_new, p_new)
+        accept = f_new < f_old
+        cam_Tcw = jnp.where(accept, cam_new, cam_Tcw)
+        p_xyz = jnp.where(accept, p_new, p_xyz)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e6)
+        return cam_Tcw, p_xyz, lam
+
+    cam_Tcw, p_xyz, _ = jax.lax.fori_loop(
+        0, n_iters, body,
+        (prob.cam_Tcw, prob.p_xyz, jnp.asarray(init_lambda, jnp.float32)),
+    )
+    cost = total_cost(cam_Tcw, p_xyz)
+    stats = BAStats(
+        cost=cost,
+        n_edges=jnp.sum(prob.e_valid.astype(jnp.int32)),
+        edge_chi2=jnp.zeros_like(prob.e_w),
+    )
+    return cam_Tcw, p_xyz, stats
