@@ -61,18 +61,19 @@ def main():
         (m, ts), inl = jax.lax.scan(step, (m, ts), (grays, depths))
         return ts.Tcw, inl
 
-    # warm-up / compile
+    # warm-up / compile (fetch a concrete host value: on remote backends
+    # block_until_ready can return before execution completes)
     t0 = time.perf_counter()
     Tcw, inl = run_sequence(m, ts, grays, depths)
-    jax.block_until_ready(Tcw)
+    _ = np.asarray(Tcw)
     compile_s = time.perf_counter() - t0
 
-    # timed runs
+    # timed runs — the device->host fetch of the final pose is the fence
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
         Tcw, inl = run_sequence(m, ts, grays, depths)
-        jax.block_until_ready(Tcw)
+        _ = np.asarray(Tcw)
         best = min(best, time.perf_counter() - t0)
 
     fps = N_FRAMES / best

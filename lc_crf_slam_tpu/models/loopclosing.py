@@ -1,0 +1,323 @@
+"""Loop closing: detection, Sim3/SE3 verification, correction, global BA.
+
+TPU-native counterpart of the reference's `LoopClosing.cc` thread plus
+`KeyFrameDatabase` retrieval (SURVEY.md §4.4):
+  - DetectLoop: cosine retrieval over per-KF descriptor embeddings
+    (brute-force replacement for DBoW2, SURVEY.md §3.2), gated by the
+    minimum covisible-neighbor score and temporal separation;
+    consecutive-detection consistency is the host driver's counter.
+  - ComputeSim3: dense Hamming matching between the two keyframes'
+    features, depth-backed 3D-3D batched Horn RANSAC (scale fixed for
+    RGB-D), inlier gates following the reference's thresholds.
+  - CorrectLoop: corrective transform applied to the current covisible
+    group and its points, loop edge inserted, pose-graph optimization
+    over chain + strong-covisibility + loop edges (posegraph.py), map
+    points propagated through their reference keyframe's correction.
+  - Global BA: alternating resection-intersection (block-coordinate GN
+    over cameras then points) — same fixed point as joint BA, but each
+    half-step is embarrassingly parallel, which is the memory-lean way
+    to run full-map refinement on TPU (no (P,C) coupling tensor).
+Relocalization (Tracking::Relocalization) shares retrieval + RANSAC.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..geometry.camera import Pinhole
+from ..geometry.se3 import exp_se3, make_se3, se3_inverse
+from ..ops.match import hamming_matrix, match_nn, resolve_duplicates
+from ..ops.ransac import horn_ransac
+from .ba import pose_optimize
+from .frame import Frame
+from .mapstate import MapState, covisibility
+from .posegraph import PoseGraph, optimize_pose_graph
+
+
+class LoopCandidate(NamedTuple):
+    cand: jax.Array      # () int32 candidate KF (-1 none)
+    score: jax.Array     # () float32 retrieval score
+    valid: jax.Array     # () bool
+
+
+def detect_loop(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> LoopCandidate:
+    """Retrieval + gating (KeyFrameDatabase::DetectLoopCandidates)."""
+    sim = m.kf_emb @ m.kf_emb[kf_idx]                   # (F,)
+    covis = covisibility(m)
+    row = covis[kf_idx]
+    connected = row > 0
+    # reference minScore: lowest similarity among covisible neighbors
+    # (capped: a KF with no / perfectly-similar neighbors must not set an
+    # unreachable bar)
+    nbr_scores = jnp.where(connected & m.kf_alive, sim, jnp.inf)
+    has_nbr = jnp.any(connected & m.kf_alive)
+    min_score = jnp.where(has_nbr, jnp.min(nbr_scores), 0.0)
+    min_score = jnp.minimum(min_score, 0.9)
+    ids = jnp.arange(m.capacity_kfs)
+    eligible = (
+        m.kf_alive
+        & (ids < m.n_kfs)
+        & ~connected
+        & (jnp.abs(ids - kf_idx) >= cfg.loop.min_kfs_since_last)
+        & (ids != kf_idx)
+    )
+    score = jnp.where(eligible, sim, -jnp.inf)
+    cand = jnp.argmax(score)
+    best = score[cand]
+    valid = jnp.isfinite(best) & (best >= jnp.maximum(min_score, 0.35))
+    return LoopCandidate(
+        cand=jnp.where(valid, cand, -1).astype(jnp.int32),
+        score=best,
+        valid=valid,
+    )
+
+
+def _kf_world_points(cam: Pinhole, m: MapState, kf: jax.Array):
+    """Depth-backed world positions of a keyframe's features (K, 3)."""
+    uv = m.kf_uv[kf]
+    d = m.kf_depth[kf]
+    Twc = se3_inverse(m.kf_Tcw[kf])
+    x = (uv[:, 0] - cam.cx) / cam.fx * d
+    y = (uv[:, 1] - cam.cy) / cam.fy * d
+    pc = jnp.stack([x, y, d], axis=-1)
+    return pc @ Twc[:3, :3].T + Twc[:3, 3], (d > 0) & m.kf_valid[kf]
+
+
+class LoopVerification(NamedTuple):
+    T_corr: jax.Array     # (4, 4) world correction: p_true = T_corr @ p_drifted
+    n_inliers: jax.Array
+    accepted: jax.Array
+
+
+def verify_loop(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState,
+    kf_idx: jax.Array, cand: jax.Array, key: jax.Array,
+) -> LoopVerification:
+    """ComputeSim3: feature matching + 3D-3D Horn RANSAC (fixed scale)."""
+    cand_s = jnp.maximum(cand, 0)
+    dist = hamming_matrix(m.kf_desc[kf_idx], m.kf_desc[cand_s])
+    gate = m.kf_valid[kf_idx][:, None] & m.kf_valid[cand_s][None, :]
+    mm = match_nn(dist, mask=gate, max_dist=cfg.matcher.th_low,
+                  ratio=0.75, mutual=True)
+    mv = resolve_duplicates(mm.idx, mm.dist, mm.valid, dist.shape[1])
+    p_kf, ok_kf = _kf_world_points(cam, m, kf_idx)
+    p_cd, ok_cd = _kf_world_points(cam, m, cand_s)
+    pairs_ok = mv & ok_kf & ok_cd[mm.idx]
+    n_matches = jnp.sum(pairs_ok.astype(jnp.int32))
+    # correction maps the drifted current branch onto the loop branch
+    res = horn_ransac(
+        p_kf, p_cd[mm.idx], pairs_ok, key,
+        n_hypotheses=cfg.loop.ransac_hypotheses,
+        inlier_tol=0.10,
+        fix_scale=cfg.loop.fix_scale,
+    )
+    T_corr = make_se3(res.R, res.t)
+    accepted = (
+        (cand >= 0)
+        & (n_matches >= cfg.loop.min_bow_matches)
+        & (res.n_inliers >= cfg.loop.min_sim3_inliers)
+    )
+    return LoopVerification(
+        T_corr=jnp.where(accepted, T_corr, jnp.eye(4)),
+        n_inliers=res.n_inliers,
+        accepted=accepted,
+    )
+
+
+def correct_loop(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState,
+    kf_idx: jax.Array, cand: jax.Array, T_corr: jax.Array,
+) -> MapState:
+    """CorrectLoop: correct the current covisible group, optimize the
+    essential graph, propagate map points via their reference keyframe."""
+    F = m.capacity_kfs
+    covis = covisibility(m)
+    group = (covis[kf_idx] >= cfg.mapping.covisibility_min_weight)
+    group = group.at[kf_idx].set(True)
+    group &= m.kf_alive
+
+    Tcw_old = m.kf_Tcw
+    # corrected poses for the group: world correction T_corr moves their
+    # (drifted) world frame onto the loop branch -> Tcw' = Tcw @ T_corr^-1
+    T_corr_inv = se3_inverse(T_corr)
+    Tcw_corr = jnp.where(
+        group[:, None, None], Tcw_old @ T_corr_inv, Tcw_old
+    )
+
+    # pose graph: chain + strong covisibility edges measured from the
+    # PRE-correction poses (odometry), loop edge from the corrected
+    # relative pose; anchor = loop candidate + KF0
+    seq_i = jnp.arange(F - 1, dtype=jnp.int32) + 1
+    seq_j = jnp.arange(F - 1, dtype=jnp.int32)
+    seq_valid = m.kf_alive[seq_i] & m.kf_alive[seq_j] & (seq_i < m.n_kfs)
+    cv = jnp.where(
+        jnp.triu(jnp.ones((F, F), bool), 2)
+        & m.kf_alive[:, None] & m.kf_alive[None, :],
+        covis, 0.0,
+    )
+    topv, topidx = jax.lax.top_k(cv.reshape(-1), 256)
+    cv_i = (topidx // F).astype(jnp.int32)
+    cv_j = (topidx % F).astype(jnp.int32)
+    cv_valid = topv >= cfg.loop.covis_edge_weight
+    e_i = jnp.concatenate([seq_i, cv_i, kf_idx[None]])
+    e_j = jnp.concatenate([seq_j, cv_j, jnp.maximum(cand, 0)[None]])
+    rel_meas = Tcw_old[e_i[:-1]] @ jax.vmap(se3_inverse)(Tcw_old[e_j[:-1]])
+    loop_rel = (Tcw_old[kf_idx] @ T_corr_inv) @ se3_inverse(
+        Tcw_old[jnp.maximum(cand, 0)]
+    )
+    e_rel = jnp.concatenate([rel_meas, loop_rel[None]])
+    e_w = jnp.concatenate([
+        jnp.ones((F - 1,)), jnp.ones((256,)), jnp.asarray([5.0])
+    ])
+    e_valid = jnp.concatenate([seq_valid, cv_valid, jnp.asarray([True])])
+    node_fixed = (jnp.arange(F) == 0) | (jnp.arange(F) == cand)
+    g = PoseGraph(
+        Tcw=Tcw_corr,
+        node_valid=m.kf_alive & (jnp.arange(F) < m.n_kfs),
+        node_fixed=node_fixed,
+        e_i=e_i, e_j=e_j, e_rel=e_rel, e_w=e_w, e_valid=e_valid,
+    )
+    Tcw_new = optimize_pose_graph(g, n_iters=cfg.loop.pose_graph_iters)
+
+    # propagate map points through their reference keyframe's correction
+    ref = jnp.clip(m.p_first_kf, 0, F - 1)
+    D = jax.vmap(se3_inverse)(Tcw_new) @ Tcw_old       # (F, 4, 4) Twc_new Tcw_old
+    Dp = D[ref]
+    p_new = jnp.einsum("pij,pj->pi", Dp[:, :3, :3], m.p_xyz) + Dp[:, :3, 3]
+    p_new = jnp.where(m.p_alive[:, None], p_new, m.p_xyz)
+    return m._replace(kf_Tcw=Tcw_new, p_xyz=p_new)
+
+
+def global_ba_alternating(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, n_rounds: int = 6
+) -> MapState:
+    """RunGlobalBundleAdjustment equivalent: block-coordinate GN.
+
+    Cameras and points alternate; each half-step is a batched
+    block-diagonal Newton step assembled with segment-sums over ALL
+    observations — O(F*K) work and memory, no camera-point coupling
+    tensor, so it scales to the full map.
+    """
+    from ..ops.schur import _edge_residuals, _robust_weights, BAProblem
+
+    F, K = m.kf_obs.shape
+    P = m.capacity_points
+    e_cam = jnp.repeat(jnp.arange(F, dtype=jnp.int32), K)
+    e_pt_raw = m.kf_obs.reshape(-1)
+    e_valid = (
+        m.kf_alive[:, None] & m.kf_valid & (m.kf_obs >= 0)
+    ).reshape(-1)
+    e_pt = jnp.maximum(e_pt_raw, 0)
+    inv_sigma2 = (
+        (1.0 / cfg.orb.scale_factor**2)
+        ** m.kf_level.astype(jnp.float32)
+    ).reshape(-1)
+    prob = BAProblem(
+        cam_Tcw=m.kf_Tcw,
+        cam_fixed=jnp.arange(F) == 0,
+        p_xyz=m.p_xyz,
+        p_valid=m.p_alive,
+        e_cam=e_cam,
+        e_pt=e_pt,
+        e_uv=m.kf_uv.reshape(-1, 2),
+        e_ur=m.kf_ur.reshape(-1),
+        e_w=inv_sigma2,
+        e_valid=e_valid,
+    )
+    huber = cfg.local_ba.huber_delta
+
+    def round_step(_, carry):
+        cam_Tcw, p_xyz = carry
+        # camera half-step (block-diagonal over cameras)
+        r, J_cam, J_pt, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
+        active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
+        _, w, _ = _robust_weights(r, prob.e_w, active, huber)
+        wJc = w[:, None, None] * J_cam
+        Hcc = jnp.zeros((F, 6, 6)).at[prob.e_cam].add(
+            jnp.einsum("eij,eik->ejk", wJc, J_cam))
+        g_c = jnp.zeros((F, 6)).at[prob.e_cam].add(
+            jnp.einsum("eij,ei->ej", wJc, r))
+        Hcc = Hcc + 1e-3 * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc)) \
+            + 1e-6 * jnp.eye(6)
+        delta_c = -jnp.linalg.solve(Hcc, g_c[..., None])[..., 0]
+        movable = (~prob.cam_fixed) & m.kf_alive
+        delta_c = delta_c * movable[:, None]
+        cam_Tcw = exp_se3(delta_c) @ cam_Tcw
+        # point half-step (block-diagonal over points)
+        r, J_cam, J_pt, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
+        active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
+        _, w, _ = _robust_weights(r, prob.e_w, active, huber)
+        wJp = w[:, None, None] * J_pt
+        Hpp = jnp.zeros((P, 3, 3)).at[prob.e_pt].add(
+            jnp.einsum("eij,eik->ejk", wJp, J_pt))
+        g_p = jnp.zeros((P, 3)).at[prob.e_pt].add(
+            jnp.einsum("eij,ei->ej", wJp, r))
+        Hpp = Hpp + 1e-3 * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) \
+            + 1e-6 * jnp.eye(3)
+        delta_p = -jnp.linalg.solve(Hpp, g_p[..., None])[..., 0]
+        has_obs = jnp.einsum("pii->p", Hpp) > 1e-5
+        delta_p = jnp.where((prob.p_valid & has_obs)[:, None], delta_p, 0.0)
+        return cam_Tcw, p_xyz + delta_p
+
+    cam_Tcw, p_xyz = jax.lax.fori_loop(
+        0, n_rounds, round_step, (m.kf_Tcw, m.p_xyz)
+    )
+    return m._replace(kf_Tcw=cam_Tcw, p_xyz=p_xyz)
+
+
+class RelocResult(NamedTuple):
+    Tcw: jax.Array
+    n_inliers: jax.Array
+    accepted: jax.Array
+
+
+def relocalize(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, frame: Frame,
+    key: jax.Array,
+) -> RelocResult:
+    """Tracking::Relocalization: retrieval -> descriptor matching ->
+    depth-backed 3D-3D Horn RANSAC -> motion-only refinement."""
+    from .mapstate import _descriptor_embedding
+
+    emb = _descriptor_embedding(frame.desc, frame.valid)
+    sim = m.kf_emb @ emb
+    eligible = m.kf_alive & (jnp.arange(m.capacity_kfs) < m.n_kfs)
+    cand = jnp.argmax(jnp.where(eligible, sim, -jnp.inf))
+
+    dist = hamming_matrix(frame.desc, m.kf_desc[cand])
+    gate = frame.valid[:, None] & m.kf_valid[cand][None, :]
+    mm = match_nn(dist, mask=gate, max_dist=cfg.matcher.th_low,
+                  ratio=cfg.matcher.nn_ratio_reloc, mutual=True)
+    mv = resolve_duplicates(mm.idx, mm.dist, mm.valid, dist.shape[1])
+    # frame points in camera frame; candidate's points in world
+    fx = (frame.uv[:, 0] - cam.cx) / cam.fx * frame.depth
+    fy = (frame.uv[:, 1] - cam.cy) / cam.fy * frame.depth
+    p_cam = jnp.stack([fx, fy, frame.depth], axis=-1)
+    p_w, ok_w = _kf_world_points(cam, m, cand)
+    pairs_ok = mv & (frame.depth > 0) & ok_w[mm.idx]
+    res = horn_ransac(
+        p_w[mm.idx], p_cam, pairs_ok, key,
+        n_hypotheses=cfg.loop.ransac_hypotheses,
+        inlier_tol=0.10, fix_scale=True,
+    )
+    Tcw0 = make_se3(res.R, res.t)
+    # refine against the candidate's map points
+    obs = jnp.where(mv, m.kf_obs[cand][mm.idx], -1)
+    has_pt = obs >= 0
+    pw_pts = m.p_xyz[jnp.maximum(obs, 0)]
+    r = pose_optimize(
+        cam, Tcw0, pw_pts, frame.uv, frame.u_right, frame.level,
+        has_pt & res.inliers, cfg.pose_opt, cfg.orb.scale_factor,
+    )
+    accepted = (res.n_inliers >= 15) & (
+        r.n_inliers >= cfg.tracking.min_inliers_reloc // 2
+    )
+    return RelocResult(
+        Tcw=jnp.where(accepted, r.Tcw, jnp.eye(4)),
+        n_inliers=r.n_inliers,
+        accepted=accepted,
+    )

@@ -52,6 +52,7 @@ class MapState(NamedTuple):
     kf_desc: jax.Array      # (F, K, 8) uint32
     kf_valid: jax.Array     # (F, K) bool
     kf_obs: jax.Array       # (F, K) int32 point id per feature (-1 = none)
+    kf_emb: jax.Array       # (F, 256) float32 retrieval embedding
     # --- counters ---
     n_points: jax.Array     # () int32 allocation cursor
     n_kfs: jax.Array        # () int32
@@ -97,9 +98,27 @@ def empty_map(cfg: SLAMConfig) -> MapState:
         kf_desc=jnp.zeros((F, K, 8), jnp.uint32),
         kf_valid=jnp.zeros((F, K), bool),
         kf_obs=jnp.full((F, K), -1, i32),
+        kf_emb=jnp.zeros((F, 256), f32),
         n_points=jnp.asarray(0, i32),
         n_kfs=jnp.asarray(0, i32),
     )
+
+
+def _descriptor_embedding(desc: jax.Array, valid: jax.Array) -> jax.Array:
+    """(K, 8) uint32 -> (256,) mean-bit retrieval embedding, centered.
+
+    The brute-force TPU replacement for the DBoW2 vocabulary
+    (SURVEY.md §3.2): per-keyframe descriptor-set statistics compared by
+    cosine similarity, followed by geometric verification. Centered at
+    0.5 so cosine similarity is informative.
+    """
+    from ..ops.orb import unpack_bits
+
+    bits = unpack_bits(desc).astype(jnp.float32)       # (K, 256)
+    w = valid.astype(jnp.float32)[:, None]
+    mean = jnp.sum(bits * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    emb = mean - 0.5
+    return emb / jnp.maximum(jnp.linalg.norm(emb), 1e-6)
 
 
 def add_keyframe(
@@ -127,6 +146,7 @@ def add_keyframe(
         kf_desc=upd(m.kf_desc, frame.desc),
         kf_valid=upd(m.kf_valid, frame.valid),
         kf_obs=upd(m.kf_obs, jnp.where(frame.valid, obs_point, -1)),
+        kf_emb=upd(m.kf_emb, _descriptor_embedding(frame.desc, frame.valid)),
         n_kfs=m.n_kfs + in_cap.astype(jnp.int32),
     )
     # bump n_obs for observed points

@@ -26,6 +26,13 @@ from ..geometry.se3 import se3_inverse
 from .frame import Frame, build_frame, frame_from_observations
 from .mapstate import MapState, empty_map
 from .crf import crf_step
+from .loopclosing import (
+    correct_loop,
+    detect_loop,
+    global_ba_alternating,
+    relocalize,
+    verify_loop,
+)
 from .mapping import mapping_step
 from .tracking import (
     TrackState,
@@ -64,6 +71,18 @@ class SLAMSystem:
         self._insert_kf = jax.jit(insert_keyframe, static_argnums=(0, 1))
         self._mapping = jax.jit(mapping_step, static_argnums=(0, 1))
         self._crf = jax.jit(crf_step, static_argnums=(0,))
+        self._detect_loop = jax.jit(detect_loop, static_argnums=(0,))
+        self._verify_loop = jax.jit(verify_loop, static_argnums=(0, 1))
+        self._correct_loop = jax.jit(correct_loop, static_argnums=(0, 1))
+        self._global_ba = jax.jit(
+            global_ba_alternating, static_argnums=(0, 1, 3)
+        )
+        self._relocalize = jax.jit(relocalize, static_argnums=(0, 1))
+        self.enable_loop = self.cfg.loop.enabled
+        self._loop_cand_streak = (-1, 0)   # (candidate, consecutive count)
+        self._last_loop_kf = -10**9
+        self._reloc_key = jax.random.PRNGKey(7)
+        self.loop_log = []
 
     # ------------------------------------------------------------------ api
     def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
@@ -95,6 +114,17 @@ class SLAMSystem:
                 self.cfg, self.cam, self.map, self.ts, frame
             )
             need_kf = bool(info.need_kf)
+            # relocalization path (Tracking::Relocalization) when lost
+            if int(self.ts.status) == 2 and int(self.map.n_kfs) >= 2:
+                self._reloc_key, sub = jax.random.split(self._reloc_key)
+                rr = self._relocalize(self.cfg, self.cam, self.map, frame, sub)
+                if bool(rr.accepted):
+                    self.ts = self.ts._replace(
+                        Tcw=rr.Tcw,
+                        vel=jnp.eye(4),
+                        status=jnp.asarray(1, jnp.int32),
+                    )
+                    need_kf = False
             if need_kf:
                 self.map, self.ts = self._insert_kf(
                     self.cfg, self.cam, self.map, self.ts, frame, info.obs,
@@ -105,6 +135,8 @@ class SLAMSystem:
                         self.cfg, self.cam, self.map, self.ts.ref_kf
                     )
                 self.kf_log.append((timestamp, int(self.ts.ref_kf)))
+                if self.enable_loop:
+                    self._try_close_loop()
             if self.enable_crf and self._crf is not None:
                 self.map, crf_info = self._crf(
                     self.cfg, self.map, self.ts.frame_idx
@@ -138,6 +170,46 @@ class SLAMSystem:
         if self._log_fh:
             self._log_fh.write(json.dumps(rec) + "\n")
         return Tcw
+
+    def _try_close_loop(self) -> None:
+        """LoopClosing::Run body for the newly inserted keyframe, with the
+        reference's consecutive-detection consistency gate host-side."""
+        kf = int(self.ts.ref_kf)
+        if kf - self._last_loop_kf < self.cfg.loop.min_kfs_since_last:
+            return
+        lc = self._detect_loop(self.cfg, self.map, self.ts.ref_kf)
+        if not bool(lc.valid):
+            self._loop_cand_streak = (-1, 0)
+            return
+        cand = int(lc.cand)
+        prev_cand, streak = self._loop_cand_streak
+        if prev_cand >= 0 and abs(cand - prev_cand) <= 3:
+            streak += 1
+        else:
+            streak = 1
+        self._loop_cand_streak = (cand, streak)
+        if streak < min(self.cfg.loop.consistency_needed, 2):
+            return
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        ver = self._verify_loop(
+            self.cfg, self.cam, self.map, self.ts.ref_kf, lc.cand, sub
+        )
+        if not bool(ver.accepted):
+            return
+        self.map = self._correct_loop(
+            self.cfg, self.cam, self.map, self.ts.ref_kf, lc.cand,
+            ver.T_corr,
+        )
+        # current pose moved with its keyframe: re-sync tracking state
+        self.ts = self.ts._replace(
+            Tcw=self.map.kf_Tcw[self.ts.ref_kf], vel=jnp.eye(4)
+        )
+        self.map = self._global_ba(self.cfg, self.cam, self.map, 6)
+        self._last_loop_kf = kf
+        self._loop_cand_streak = (-1, 0)
+        self.loop_log.append(
+            {"kf": kf, "cand": int(lc.cand), "inliers": int(ver.n_inliers)}
+        )
 
     # ----------------------------------------------------------- trajectory
     def get_trajectory(self):
