@@ -93,6 +93,27 @@ class SLAMSystem:
         )
         return self._track_frame(frame, timestamp)
 
+    def track_stereo(self, gray_left, gray_right, timestamp: float) -> np.ndarray:
+        """System::TrackStereo — stereo pair in, pose out. Features are
+        extracted in both images; left features gain depth via epipolar
+        row matching (ops/stereo.py), then the RGB-D pipeline applies."""
+        from ..ops.stereo import stereo_match
+
+        fl = self._build_frame(
+            self.cam, self.cfg, jnp.asarray(gray_left, jnp.float32),
+            jnp.zeros_like(jnp.asarray(gray_left, jnp.float32)),
+        )
+        fr = self._build_frame(
+            self.cam, self.cfg, jnp.asarray(gray_right, jnp.float32),
+            jnp.zeros_like(jnp.asarray(gray_right, jnp.float32)),
+        )
+        u_right, depth = stereo_match(
+            self.cam, fl.uv, fl.level, fl.desc, fl.valid,
+            fr.uv, fr.level, fr.desc, fr.valid,
+        )
+        frame = fl._replace(u_right=u_right, depth=depth)
+        return self._track_frame(frame, timestamp)
+
     def track_observations(self, uv, depth, desc, timestamp: float) -> np.ndarray:
         """Pipeline-test entry: track a frame given direct observations."""
         frame = frame_from_observations(

@@ -1,0 +1,163 @@
+"""CLI entry point — the `rgbd_tum` equivalent (SURVEY.md §3.1 L7).
+
+Usage:
+  # TUM RGB-D sequence (reference CLI shape: settings seq assoc):
+  python -m lc_crf_slam_tpu.run_slam --seq DIR [--assoc FILE]
+      [--camera tum1|tum2|tum3] [--config cfg.yaml] [--out traj.txt]
+
+  # Synthetic sequence (no dataset required):
+  python -m lc_crf_slam_tpu.run_slam --synthetic [--frames N]
+      [--dynamic N] [--render] [--out traj.txt]
+
+Writes the TUM-format trajectory (+ keyframe trajectory), per-frame
+JSONL log, optional map visualization and checkpoint, and prints ATE
+when ground truth is available. No vocabulary file is needed (retrieval
+is vocabulary-free, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--seq", help="TUM RGB-D sequence directory")
+    src.add_argument("--synthetic", action="store_true",
+                     help="run on a synthetic sequence")
+    ap.add_argument("--assoc", help="association file (else associates "
+                    "rgb.txt/depth.txt)")
+    ap.add_argument("--camera", default="tum3",
+                    choices=["tum1", "tum2", "tum3"])
+    ap.add_argument("--config", help="config file (section.key: value)")
+    ap.add_argument("--out", default="CameraTrajectory.txt")
+    ap.add_argument("--kf-out", default="KeyFrameTrajectory.txt")
+    ap.add_argument("--log", default=None, help="per-frame JSONL log path")
+    ap.add_argument("--viz", default=None, help="write map plot PNG here")
+    ap.add_argument("--checkpoint", default=None, help="save map state here")
+    ap.add_argument("--resume", default=None, help="resume from checkpoint")
+    ap.add_argument("--frames", type=int, default=120,
+                    help="synthetic sequence length")
+    ap.add_argument("--dynamic", type=int, default=120,
+                    help="synthetic dynamic point count")
+    ap.add_argument("--render", action="store_true",
+                    help="synthetic: run the full image front-end instead "
+                    "of direct observations")
+    ap.add_argument("--no-crf", action="store_true")
+    ap.add_argument("--no-mapping", action="store_true")
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from .config import SLAMConfig, load_yaml
+    from .geometry.camera import TUM1, TUM2, TUM3
+    from .models.system import SLAMSystem
+    from .utils.evaluate import evaluate_ate
+
+    cam = {"tum1": TUM1, "tum2": TUM2, "tum3": TUM3}[args.camera]
+    cfg = load_yaml(args.config) if args.config else SLAMConfig()
+
+    slam = SLAMSystem(
+        cam, cfg, log_path=args.log,
+        enable_mapping=not args.no_mapping,
+        enable_crf=not args.no_crf,
+    )
+    slam.enable_loop = not args.no_loop
+    if args.resume:
+        from .utils.checkpoint import load_checkpoint
+
+        slam.map, slam.ts, _ = load_checkpoint(args.resume)
+        slam.initialized = True
+        print(f"resumed from {args.resume}", file=sys.stderr)
+
+    gt = None
+    t_start = time.perf_counter()
+    if args.synthetic:
+        from .utils.synthetic import SyntheticWorld
+
+        world = SyntheticWorld(
+            cam=cam, n_frames=args.frames, n_static=900,
+            n_dynamic=args.dynamic,
+        )
+        n = args.max_frames or args.frames
+        for k in range(min(n, args.frames)):
+            f = world.frame(k, render=args.render)
+            if args.render:
+                slam.track_rgbd(f.image, f.depth_image, f.timestamp)
+            else:
+                slam.track_observations(f.uv, f.depth, f.desc, f.timestamp)
+        gt = world.groundtruth()
+    else:
+        from .utils.io_tum import TUMSequence, load_groundtruth
+        import os
+
+        seq = TUMSequence(args.seq, args.assoc,
+                          cfg.tracking.depth_map_factor)
+        n = min(len(seq), args.max_frames or len(seq))
+        for k in range(n):
+            t, gray, depth = seq[k]
+            slam.track_rgbd(gray, depth, t)
+            if k % 50 == 0:
+                print(f"frame {k}/{n}", file=sys.stderr)
+        gt_path = os.path.join(args.seq, "groundtruth.txt")
+        if os.path.exists(gt_path):
+            from .geometry.se3 import quat_to_rotmat
+            import numpy as np
+            import jax.numpy as jnp
+
+            ts_g, vals = load_groundtruth(gt_path)
+            R = np.asarray(quat_to_rotmat(jnp.asarray(vals[:, 3:7])))
+            T = np.tile(np.eye(4), (len(ts_g), 1, 1))
+            T[:, :3, :3] = R
+            T[:, :3, 3] = vals[:, :3]
+            gt = (ts_g, T)
+
+    wall = time.perf_counter() - t_start
+    slam.save_trajectory_tum(args.out)
+    slam.save_keyframe_trajectory_tum(args.kf_out)
+    ts_est, poses_est = slam.get_trajectory()
+    n_frames = len(ts_est)
+    summary = {
+        "frames": n_frames,
+        "fps": round(n_frames / wall, 2),
+        "keyframes": int(slam.map.n_kfs),
+        "points": int(slam.map.n_points),
+        "loops_closed": len(slam.loop_log),
+        "lost_frames": sum(
+            1 for s in slam.stats[1:] if s.get("status") != 1
+        ),
+    }
+    if gt is not None:
+        ate = evaluate_ate(ts_est, poses_est, gt[0], gt[1])
+        summary["ate_rmse_m"] = round(ate.rmse, 4)
+        summary["ate_median_m"] = round(ate.median, 4)
+    if args.viz:
+        from .utils.viewer import plot_map
+
+        plot_map(slam.map, args.viz, trajectory=poses_est,
+                 groundtruth=gt[1] if gt is not None else None)
+    if args.checkpoint:
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, slam.map, slam.ts)
+    print(json.dumps(summary))
+    slam.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
