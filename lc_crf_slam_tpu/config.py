@@ -28,6 +28,7 @@ class ORBConfig:
     max_keypoints: int = 1024     # static keypoint capacity (>= n_features)
     patch_size: int = 31          # orientation/descriptor patch
     edge_margin: int = 19         # keep keypoints this far from the border
+    use_pallas_fast: bool = False  # Pallas FAST kernel (see frame.py note)
 
 
 @dataclass(frozen=True)

@@ -34,6 +34,7 @@ from .loopclosing import (
     verify_loop,
 )
 from .mapping import mapping_step
+from ..ops.lk_flow import lk_track
 from .tracking import (
     TrackState,
     empty_track_state,
@@ -83,15 +84,44 @@ class SLAMSystem:
         self._last_loop_kf = -10**9
         self._reloc_key = jax.random.PRNGKey(7)
         self.loop_log = []
+        self._last_gray = None
+
+        def _flow_evidence(cfg, cam, m, gray_prev, gray_next,
+                           last_uv, last_obs, last_valid, Tcw_new):
+            """[CRF] short-term flow-consistency evidence: LK-track the
+            previous frame's map-associated keypoints and compare with the
+            rigid prediction from the anchored map position — dynamic
+            points' actual flow departs from the egomotion prediction
+            (SURVEY.md §4.5 optical-flow term)."""
+            use = last_valid & (last_obs >= 0)
+            res = lk_track(gray_prev, gray_next, last_uv, use)
+            pw = m.p_xyz[jnp.maximum(last_obs, 0)]
+            pc = pw @ Tcw_new[:3, :3].T + Tcw_new[:3, 3]
+            z = jnp.maximum(pc[:, 2], 1e-6)
+            uv_pred = jnp.stack(
+                [cam.fx * pc[:, 0] / z + cam.cx,
+                 cam.fy * pc[:, 1] / z + cam.cy], axis=-1,
+            )
+            ferr = jnp.linalg.norm(res.uv_next - uv_pred, axis=-1)
+            ok = use & res.ok & (pc[:, 2] > 0.05)
+            tgt = jnp.where(ok, last_obs, m.capacity_points)
+            decay = cfg.crf.history_decay
+            old = m.p_flow_err[jnp.maximum(last_obs, 0)]
+            new = decay * old + (1 - decay) * jnp.minimum(ferr, 50.0)
+            return m._replace(
+                p_flow_err=m.p_flow_err.at[tgt].set(new, mode="drop")
+            )
+
+        self._flow_evidence = jax.jit(_flow_evidence, static_argnums=(0, 1))
 
     # ------------------------------------------------------------------ api
     def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
         """Process one RGB-D frame; returns Tcw (4, 4) numpy."""
+        gray = jnp.asarray(gray, jnp.float32)
         frame = self._build_frame(
-            self.cam, self.cfg, jnp.asarray(gray, jnp.float32),
-            jnp.asarray(depth, jnp.float32),
+            self.cam, self.cfg, gray, jnp.asarray(depth, jnp.float32),
         )
-        return self._track_frame(frame, timestamp)
+        return self._track_frame(frame, timestamp, gray=gray)
 
     def track_stereo(self, gray_left, gray_right, timestamp: float) -> np.ndarray:
         """System::TrackStereo — stereo pair in, pose out. Features are
@@ -121,8 +151,13 @@ class SLAMSystem:
         )
         return self._track_frame(frame, timestamp)
 
-    def _track_frame(self, frame: Frame, timestamp: float) -> np.ndarray:
+    def _track_frame(self, frame: Frame, timestamp: float,
+                     gray=None) -> np.ndarray:
         t0 = time.perf_counter()
+        prev_gray = self._last_gray
+        prev_uv = self.ts.last_uv
+        prev_obs = self.ts.last_obs
+        prev_valid = self.ts.last_valid
         if not self.initialized:
             self.map, self.ts = self._init_map(
                 self.cfg, self.cam, self.map, frame, jnp.asarray(timestamp)
@@ -158,6 +193,14 @@ class SLAMSystem:
                 self.kf_log.append((timestamp, int(self.ts.ref_kf)))
                 if self.enable_loop:
                     self._try_close_loop()
+            if (
+                self.enable_crf and gray is not None
+                and prev_gray is not None
+            ):
+                self.map = self._flow_evidence(
+                    self.cfg, self.cam, self.map, prev_gray, gray,
+                    prev_uv, prev_obs, prev_valid, self.ts.Tcw,
+                )
             if self.enable_crf and self._crf is not None:
                 self.map, crf_info = self._crf(
                     self.cfg, self.map, self.ts.frame_idx
@@ -177,6 +220,7 @@ class SLAMSystem:
                 **info_host_crf,
             }
 
+        self._last_gray = gray
         Tcw = np.asarray(self.ts.Tcw)
         Twc = np.asarray(se3_inverse(jnp.asarray(Tcw)))
         self.trajectory.append((timestamp, Twc))

@@ -108,11 +108,31 @@ def main(argv=None) -> int:
         seq = TUMSequence(args.seq, args.assoc,
                           cfg.tracking.depth_map_factor)
         n = min(len(seq), args.max_frames or len(seq))
-        for k in range(n):
-            t, gray, depth = seq[k]
-            slam.track_rgbd(gray, depth, t)
-            if k % 50 == 0:
-                print(f"frame {k}/{n}", file=sys.stderr)
+        # native C++ prefetching decoder when built; Python/OpenCV otherwise
+        from .utils.native_loader import build_native_runtime, NativeTUMLoader
+
+        if build_native_runtime():
+            entries = [
+                (t_rgb, os.path.join(args.seq, rp),
+                 t_d, os.path.join(args.seq, dp))
+                for t_rgb, rp, t_d, dp in seq.entries[:n]
+            ]
+            loader = NativeTUMLoader(
+                entries, cam.width, cam.height,
+                cfg.tracking.depth_map_factor,
+            )
+            print("using native prefetching loader", file=sys.stderr)
+            for k, (t, gray, depth) in enumerate(loader):
+                slam.track_rgbd(gray, depth, t)
+                if k % 50 == 0:
+                    print(f"frame {k}/{n}", file=sys.stderr)
+            loader.close()
+        else:
+            for k in range(n):
+                t, gray, depth = seq[k]
+                slam.track_rgbd(gray, depth, t)
+                if k % 50 == 0:
+                    print(f"frame {k}/{n}", file=sys.stderr)
         gt_path = os.path.join(args.seq, "groundtruth.txt")
         if os.path.exists(gt_path):
             from .geometry.se3 import quat_to_rotmat

@@ -200,6 +200,50 @@ class SyntheticWorld:
             depth_img[max(y - 2, 0) : y + 3, max(x - 2, 0) : x + 3] = d
         return np.clip(img, 0, 255), depth_img
 
+    def export_tum_sequence(self, out_dir: str, n: Optional[int] = None,
+                            depth_factor: float = 5000.0) -> None:
+        """Write this world as a TUM RGB-D sequence directory (rgb/,
+        depth/, rgb.txt, depth.txt, groundtruth.txt) — lets dataset-path
+        code (association, PNG decode, CLI) be tested without network
+        access to the real TUM data."""
+        import os
+        import cv2
+
+        n = n or self.n_frames
+        os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+        rgb_lines, depth_lines, gt_lines = [], [], []
+        from ..geometry.se3 import rotmat_to_quat
+        import jax.numpy as jnp
+
+        for k in range(n):
+            f = self.frame(k, render=True)
+            t = f.timestamp
+            rgb_rel = f"rgb/{t:.6f}.png"
+            dep_rel = f"depth/{t:.6f}.png"
+            img8 = np.clip(f.image, 0, 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(out_dir, rgb_rel),
+                        np.stack([img8] * 3, axis=-1))
+            d16 = np.clip(f.depth_image * depth_factor, 0, 65535).astype(
+                np.uint16)
+            cv2.imwrite(os.path.join(out_dir, dep_rel), d16)
+            rgb_lines.append(f"{t:.6f} {rgb_rel}")
+            depth_lines.append(f"{t:.6f} {dep_rel}")
+            Twc = self.gt_pose_twc(k)
+            q = np.asarray(rotmat_to_quat(jnp.asarray(Twc[:3, :3],
+                                                      jnp.float32)))
+            tx, ty, tz = Twc[:3, 3]
+            gt_lines.append(
+                f"{t:.6f} {tx:.6f} {ty:.6f} {tz:.6f} "
+                f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}"
+            )
+        for name, lines in (("rgb.txt", rgb_lines),
+                            ("depth.txt", depth_lines),
+                            ("groundtruth.txt", gt_lines)):
+            with open(os.path.join(out_dir, name), "w") as fh:
+                fh.write("# synthetic TUM export\n")
+                fh.write("\n".join(lines) + "\n")
+
     def groundtruth(self):
         ts = np.array([k / 30.0 for k in range(self.n_frames)])
         poses = np.stack([self.gt_pose_twc(k) for k in range(self.n_frames)])
