@@ -12,9 +12,10 @@ keyframe culling (>=90% redundancy). Differences by design:
     of MapPoint::Replace pointer surgery;
   - scale-consistency in KF culling uses observation counts only
     (the reference also compares pyramid levels).
-Triangulation of new far points (CreateNewMapPoints) is deferred: the
-RGB-D path creates depth-backed points at KF insertion (tracking.py),
-which covers the reference's dominant point source for these configs.
+create_new_points supplies CreateNewMapPoints: epipolar-gated matching
+of unassociated features against the best covisible neighbors + batched
+DLT triangulation — the far-point source for RGB-D and the sole point
+source for monocular.
 """
 
 from __future__ import annotations
@@ -26,9 +27,11 @@ import jax.numpy as jnp
 
 from ..config import SLAMConfig
 from ..geometry.camera import Pinhole
-from ..ops.match import hamming_matrix, projection_gate
+from ..geometry.se3 import se3_inverse
+from ..ops.match import hamming_matrix, match_nn, projection_gate, resolve_duplicates
 from ..ops.schur import BAProblem, solve_ba_with_outlier_rounds
-from .mapstate import MapState, covisibility
+from ..ops.triangulate import epipolar_gate, triangulate_pairs
+from .mapstate import MapState, add_points, covisibility
 
 BA_CAMS = 32          # local window + fixed observers
 BA_POINTS = 4096
@@ -315,11 +318,96 @@ def cull_keyframes(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> MapState:
     return m
 
 
+TRIANG_NEIGHBORS = 4      # covisible partners searched for new points
+TRIANG_CAP = 256          # new points per neighbor pair
+
+
+def create_new_points(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
+) -> MapState:
+    """CreateNewMapPoints: epipolar-constrained matching of unassociated
+    features between the new keyframe and its best covisible neighbors,
+    batched DLT triangulation with the reference's checks, point insertion
+    with observations recorded in both keyframes.
+
+    RGB-D already creates close points from depth at KF insertion; this
+    adds the far/no-depth points — and is the sole point source for the
+    monocular pipeline."""
+    covis = covisibility(m)
+    row = covis[kf_idx] * m.kf_alive
+    row = row.at[kf_idx].set(0.0)
+    _, nbrs = jax.lax.top_k(row, TRIANG_NEIGHBORS)
+    nbr_ok_all = row[nbrs] >= cfg.mapping.covisibility_min_weight
+
+    K = m.kf_obs.shape[1]
+    uv1 = m.kf_uv[kf_idx]
+    desc1 = m.kf_desc[kf_idx]
+    lvl1 = m.kf_level[kf_idx]
+    free1 = m.kf_valid[kf_idx] & (m.kf_obs[kf_idx] < 0)
+    T1 = m.kf_Tcw[kf_idx]
+    Twc1 = se3_inverse(T1)
+    c1 = Twc1[:3, 3]
+
+    for n in range(TRIANG_NEIGHBORS):
+        nb = nbrs[n]
+        ok_nb = nbr_ok_all[n]
+        uv2 = m.kf_uv[nb]
+        desc2 = m.kf_desc[nb]
+        free2 = m.kf_valid[nb] & (m.kf_obs[nb] < 0)
+        T2 = m.kf_Tcw[nb]
+        # baseline check (reference: skip if baseline too small vs depth)
+        c2 = se3_inverse(T2)[:3, 3]
+        baseline = jnp.linalg.norm(c1 - c2)
+        ok_nb = ok_nb & (baseline > 0.01)
+
+        gate = epipolar_gate(cam, T1, T2, uv1, uv2)
+        gate &= free1[:, None] & free2[None, :]
+        dist = hamming_matrix(desc1, desc2)
+        mm = match_nn(dist, mask=gate, max_dist=cfg.matcher.th_low,
+                      ratio=0.75, mutual=True)
+        mv = resolve_duplicates(mm.idx, mm.dist, mm.valid, K)
+        tri = triangulate_pairs(
+            cam, T1, T2, uv1, uv2[mm.idx], mv & ok_nb, lvl1,
+            cfg.orb.scale_factor,
+        )
+        create = tri.ok
+        # cap per pair: strongest (lowest descriptor distance) first
+        score = jnp.where(create, -mm.dist.astype(jnp.float32), -1e9)
+        _, top = jax.lax.top_k(score, TRIANG_CAP)
+        chosen = jnp.zeros((K,), bool).at[top].set(True)
+        create &= chosen
+        dvec = tri.xyz - c1[None, :]
+        dist_c = jnp.linalg.norm(dvec, axis=-1)
+        normal = -dvec / jnp.maximum(dist_c[:, None], 1e-9)
+        max_d = dist_c * cfg.orb.scale_factor ** lvl1.astype(jnp.float32)
+        min_d = max_d / cfg.orb.scale_factor ** (cfg.orb.n_levels - 1)
+        m, new_ids = add_points(
+            m, tri.xyz, desc1, normal, min_d, max_d, create, kf_idx
+        )
+        got = new_ids >= 0
+        # record observations in both keyframes
+        row1 = jnp.where(got, new_ids, m.kf_obs[kf_idx])
+        m = m._replace(kf_obs=m.kf_obs.at[kf_idx].set(row1))
+        feat2 = jnp.where(got, mm.idx, K)
+        row2 = m.kf_obs[nb].at[feat2].set(
+            jnp.where(got, new_ids, -1), mode="drop"
+        )
+        m = m._replace(
+            kf_obs=m.kf_obs.at[nb].set(row2),
+            p_n_obs=m.p_n_obs.at[
+                jnp.where(got, new_ids, m.capacity_points)
+            ].add(1, mode="drop"),
+        )
+        free1 = m.kf_valid[kf_idx] & (m.kf_obs[kf_idx] < 0)
+    return m
+
+
 def mapping_step(
     cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
 ) -> MapState:
     """LocalMapping::Run body for one keyframe: fuse -> local BA -> cull
     points -> cull keyframes."""
+    m = create_new_points(cfg, cam, m, kf_idx)
     m = fuse_duplicates(cfg, cam, m, kf_idx)
     m = local_bundle_adjustment(cfg, cam, m, kf_idx)
     m = cull_points(cfg, m)

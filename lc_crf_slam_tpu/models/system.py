@@ -123,6 +123,97 @@ class SLAMSystem:
         )
         return self._track_frame(frame, timestamp, gray=gray)
 
+    def track_monocular(self, gray, timestamp: float) -> np.ndarray:
+        """System::TrackMonocular — single image in, pose out.
+
+        Bootstraps via two-view essential-matrix initialization
+        (models/initializer.py); afterwards the standard pipeline runs
+        with mono-only observations and triangulation-backed new points
+        (mapping.create_new_points)."""
+        gray = jnp.asarray(gray, jnp.float32)
+        frame = self._build_frame(
+            self.cam, self.cfg, gray, jnp.zeros_like(gray),
+        )
+        frame = frame._replace(
+            depth=jnp.zeros_like(frame.depth),
+            u_right=jnp.full_like(frame.u_right, -1.0),
+        )
+        if not self.initialized:
+            return self._try_mono_init(frame, timestamp, gray)
+        return self._track_frame(frame, timestamp, gray=gray)
+
+    def _try_mono_init(self, frame, timestamp: float, gray) -> np.ndarray:
+        from ..ops.match import hamming_matrix, match_nn, projection_gate
+        from .initializer import initialize_mono
+        from .mapstate import add_keyframe, add_points
+        from .tracking import empty_track_state
+
+        if getattr(self, "_mono_ref", None) is None:
+            if int(frame.valid.sum()) > 100:
+                self._mono_ref = (frame, timestamp)
+            self.trajectory.append((timestamp, np.eye(4)))
+            self.stats.append({"t": timestamp, "event": "mono_wait"})
+            return np.eye(4)
+        ref, t_ref = self._mono_ref
+        dist = hamming_matrix(ref.desc, frame.desc)
+        gate = ref.valid[:, None] & frame.valid[None, :]
+        gate &= projection_gate(ref.uv, frame.uv, 100.0)
+        mm = match_nn(dist, mask=gate, max_dist=self.cfg.matcher.th_low,
+                      ratio=0.9, mutual=True)
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        res = initialize_mono(
+            self.cam, ref.uv, frame.uv[mm.idx], mm.valid, sub,
+        )
+        if not bool(res.accepted):
+            # reference resets the reference frame if init keeps failing
+            if int(mm.valid.sum()) < 100:
+                self._mono_ref = (frame, timestamp)
+            self.trajectory.append((timestamp, np.eye(4)))
+            self.stats.append({"t": timestamp, "event": "mono_init_fail"})
+            return np.eye(4)
+        # build the initial map: KF(ref)=I, KF(cur)=Tcw2, triangulated pts
+        K = self.cfg.map.max_features
+        normal = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (K, 1))
+        dist_c = jnp.linalg.norm(res.xyz, axis=-1)
+        max_d = dist_c * self.cfg.orb.scale_factor ** ref.level.astype(
+            jnp.float32)
+        min_d = max_d / self.cfg.orb.scale_factor ** (
+            self.cfg.orb.n_levels - 1)
+        self.map, ids = add_points(
+            self.map, res.xyz, ref.desc, normal, min_d, max_d, res.ok,
+            jnp.asarray(0),
+        )
+        self.map, kf0 = add_keyframe(
+            self.map, ref, jnp.eye(4), jnp.asarray(t_ref), ids,
+        )
+        cur_obs = jnp.full((K,), -1, jnp.int32).at[
+            jnp.where(res.ok, mm.idx, K - 1)
+        ].set(jnp.where(res.ok, ids, -1), mode="drop")
+        self.map, kf1 = add_keyframe(
+            self.map, frame, res.Tcw2, jnp.asarray(timestamp), cur_obs,
+        )
+        ts = empty_track_state(self.cfg)._replace(
+            Tcw=res.Tcw2,
+            last_uv=frame.uv, last_ur=frame.u_right,
+            last_depth=frame.depth, last_level=frame.level,
+            last_angle=frame.angle, last_desc=frame.desc,
+            last_valid=frame.valid, last_obs=cur_obs,
+            ref_kf=kf1,
+            ref_matches=jnp.sum((cur_obs >= 0).astype(jnp.int32)),
+            status=jnp.asarray(1, jnp.int32),
+        )
+        self.ts = ts
+        self.initialized = True
+        self._mono_ref = None
+        Twc = np.asarray(se3_inverse(res.Tcw2))
+        self.trajectory.append((timestamp, Twc))
+        self.stats.append({
+            "t": timestamp, "event": "mono_init",
+            "n_points": int(self.map.n_points),
+        })
+        self._last_gray = gray
+        return np.asarray(res.Tcw2)
+
     def track_stereo(self, gray_left, gray_right, timestamp: float) -> np.ndarray:
         """System::TrackStereo — stereo pair in, pose out. Features are
         extracted in both images; left features gain depth via epipolar

@@ -1,0 +1,56 @@
+"""Monocular and stereo System entry points (TrackMonocular/TrackStereo)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lc_crf_slam_tpu.config import SLAMConfig
+from lc_crf_slam_tpu.geometry.camera import TUM3
+from lc_crf_slam_tpu.models.system import SLAMSystem
+from lc_crf_slam_tpu.utils.synthetic import SyntheticWorld
+
+
+@pytest.mark.slow
+class TestMonocular:
+    def test_init_and_track(self):
+        """Mono bootstrap on rendered frames: init succeeds once parallax
+        accumulates, and subsequent tracking stays sane (up to scale)."""
+        world = SyntheticWorld(cam=TUM3, n_frames=30, n_static=700,
+                               n_dynamic=0, seed=19, trajectory="line",
+                               pixel_noise=0.0, depth_noise=0.0)
+        slam = SLAMSystem(TUM3, SLAMConfig())
+        events = []
+        for k in range(0, 16, 1):
+            f = world.frame(k, render=True)
+            slam.track_monocular(f.image, f.timestamp)
+            events.append(slam.stats[-1].get("event", "track"))
+        assert "mono_init" in events, events
+        assert slam.initialized
+        assert int(slam.map.n_points) > 60
+        # after init, tracking produces finite poses
+        T = np.asarray(slam.ts.Tcw)
+        assert np.all(np.isfinite(T))
+
+
+@pytest.mark.slow
+class TestStereoEntry:
+    def test_track_stereo_runs(self):
+        """Plumbing: stereo pair (right = left shifted by disparity of a
+        fronto-parallel plane) initializes and returns a pose."""
+        import cv2
+
+        rng = np.random.default_rng(3)
+        depth = 2.5
+        disp = TUM3.bf / depth
+        base = cv2.GaussianBlur(
+            (rng.random((480, 640)) * 200).astype(np.float32), (0, 0), 2.0)
+        M = np.float32([[1, 0, -disp], [0, 1, 0]])
+        right = cv2.warpAffine(base, M, (640, 480))
+        slam = SLAMSystem(TUM3, SLAMConfig())
+        T = slam.track_stereo(base, right, 0.0)
+        assert np.all(np.isfinite(T))
+        assert slam.initialized
+        # depth recovered from disparity must cluster near 2.5 m
+        d = np.asarray(slam.map.p_xyz[: int(slam.map.n_points)])[:, 2]
+        if len(d) > 10:
+            assert abs(np.median(d) - depth) < 0.2, np.median(d)
