@@ -20,7 +20,7 @@ from ..config import SLAMConfig
 from ..geometry.camera import Pinhole, undistort_pixels
 from ..ops.fast import fast_score_dual
 from ..ops.pallas_fast import fast_score_dual_pallas
-from ..ops.orb import brief_descriptors, ic_angles
+from ..ops.orb import brief_descriptors_direct, ic_angles
 from ..ops.pyramid import build_pyramid, features_per_level, gaussian_blur
 from ..ops.select import select_keypoints
 
@@ -69,8 +69,9 @@ def build_frame(
             hi, lo, quotas[l], cell=orb.cell_size, margin=orb.edge_margin
         )
         ang_l = ic_angles(img_l, uv_l)
-        blur_l = gaussian_blur(img_l, 7, 2.0)
-        desc_l = brief_descriptors(blur_l, uv_l, ang_l)
+        desc_l = brief_descriptors_direct(
+            gaussian_blur(img_l, 7, 2.0), uv_l, ang_l
+        )
         scale = orb.scale_factor**l
         uv_all.append(uv_l.astype(jnp.float32) * scale)
         lvl_all.append(jnp.full((quotas[l],), l, jnp.int32))

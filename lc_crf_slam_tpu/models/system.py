@@ -35,6 +35,7 @@ from .loopclosing import (
 )
 from .mapping import mapping_step
 from ..ops.lk_flow import lk_track
+from ..utils.profiling import StageTimer
 from .tracking import (
     TrackState,
     empty_track_state,
@@ -63,6 +64,7 @@ class SLAMSystem:
         self.trajectory: List[tuple] = []   # (t, Twc 4x4 np)
         self.kf_log: List[tuple] = []       # (t, kf_idx)
         self.stats: List[dict] = []
+        self.timer = StageTimer()
         self._log_fh = open(log_path, "w") if log_path else None
 
         # jit-compiled stages (cfg/cam static)
@@ -118,9 +120,10 @@ class SLAMSystem:
     def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
         """Process one RGB-D frame; returns Tcw (4, 4) numpy."""
         gray = jnp.asarray(gray, jnp.float32)
-        frame = self._build_frame(
-            self.cam, self.cfg, gray, jnp.asarray(depth, jnp.float32),
-        )
+        with self.timer.stage("frontend"):
+            frame = self._build_frame(
+                self.cam, self.cfg, gray, jnp.asarray(depth, jnp.float32),
+            )
         return self._track_frame(frame, timestamp, gray=gray)
 
     def track_monocular(self, gray, timestamp: float) -> np.ndarray:
@@ -257,9 +260,10 @@ class SLAMSystem:
             info_host = {"event": "init"}
             need_kf = False
         else:
-            self.ts, self.map, info = self._track(
-                self.cfg, self.cam, self.map, self.ts, frame
-            )
+            with self.timer.stage("track"):
+                self.ts, self.map, info = self._track(
+                    self.cfg, self.cam, self.map, self.ts, frame
+                )
             need_kf = bool(info.need_kf)
             # relocalization path (Tracking::Relocalization) when lost
             if int(self.ts.status) == 2 and int(self.map.n_kfs) >= 2:
@@ -273,14 +277,16 @@ class SLAMSystem:
                     )
                     need_kf = False
             if need_kf:
-                self.map, self.ts = self._insert_kf(
-                    self.cfg, self.cam, self.map, self.ts, frame, info.obs,
-                    jnp.asarray(timestamp), info.near_map,
-                )
-                if self.enable_mapping and self._mapping is not None:
-                    self.map = self._mapping(
-                        self.cfg, self.cam, self.map, self.ts.ref_kf
+                with self.timer.stage("insert_kf"):
+                    self.map, self.ts = self._insert_kf(
+                        self.cfg, self.cam, self.map, self.ts, frame,
+                        info.obs, jnp.asarray(timestamp), info.near_map,
                     )
+                if self.enable_mapping and self._mapping is not None:
+                    with self.timer.stage("mapping"):
+                        self.map = self._mapping(
+                            self.cfg, self.cam, self.map, self.ts.ref_kf
+                        )
                 self.kf_log.append((timestamp, int(self.ts.ref_kf)))
                 if self.enable_loop:
                     self._try_close_loop()

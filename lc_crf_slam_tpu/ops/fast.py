@@ -77,8 +77,37 @@ def fast_score_dual(img: jax.Array, th_high: float, th_low: float):
 
     Returns (score_high, score_low), each NMS'd. Grid selection uses the
     high map per cell and falls back to the low map for empty cells,
-    reproducing the reference's per-cell threshold fallback.
+    reproducing the reference's per-cell threshold fallback. The 16
+    shifted circle images are computed once and shared by both
+    thresholds (the dominant cost).
     """
-    hi = nms3(fast_score_map(img, th_high))
-    lo = nms3(fast_score_map(img, th_low))
-    return hi, lo
+    I = img
+    circ = jnp.stack(
+        [_shifted(img, dy, dx) for dy, dx in CIRCLE_OFFSETS], axis=0
+    )
+
+    def score(threshold):
+        t = jnp.asarray(threshold, img.dtype)
+        brighter = circ > (I + t)[None]
+        darker = circ < (I - t)[None]
+
+        def has_arc(mask):
+            ext = jnp.concatenate([mask, mask[: ARC_LENGTH - 1]], axis=0)
+            run = ext[:16]
+            for j in range(1, ARC_LENGTH):
+                run = run & ext[j: j + 16]
+            return jnp.any(run, axis=0)
+
+        margin_b = jnp.sum(jnp.where(brighter, circ - I[None] - t, 0.0), axis=0)
+        margin_d = jnp.sum(jnp.where(darker, I[None] - circ - t, 0.0), axis=0)
+        sc = jnp.maximum(
+            jnp.where(has_arc(brighter), margin_b, 0.0),
+            jnp.where(has_arc(darker), margin_d, 0.0),
+        )
+        H, W = img.shape
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        inside = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
+        return jnp.where(inside, sc, 0.0)
+
+    return nms3(score(th_high)), nms3(score(th_low))

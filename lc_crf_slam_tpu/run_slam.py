@@ -53,6 +53,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
+    ap.add_argument("--timing", action="store_true",
+                    help="print the per-stage timing table at the end")
     return ap
 
 
@@ -85,6 +89,12 @@ def main(argv=None) -> int:
         print(f"resumed from {args.resume}", file=sys.stderr)
 
     gt = None
+    profile_cm = None
+    if args.profile:
+        from .utils.profiling import trace
+
+        profile_cm = trace(args.profile)
+        profile_cm.__enter__()
     t_start = time.perf_counter()
     if args.synthetic:
         from .utils.synthetic import SyntheticWorld
@@ -147,6 +157,10 @@ def main(argv=None) -> int:
             gt = (ts_g, T)
 
     wall = time.perf_counter() - t_start
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+    if args.timing:
+        print(slam.timer.report(), file=sys.stderr)
     slam.save_trajectory_tum(args.out)
     slam.save_keyframe_trajectory_tum(args.kf_out)
     ts_est, poses_est = slam.get_trajectory()
