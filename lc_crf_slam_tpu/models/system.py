@@ -264,7 +264,9 @@ class SLAMSystem:
                 self.ts, self.map, info = self._track(
                     self.cfg, self.cam, self.map, self.ts, frame
                 )
-            need_kf = bool(info.need_kf)
+            need_kf = bool(info.need_kf) and not getattr(
+                self, "_localization_only", False
+            )
             # relocalization path (Tracking::Relocalization) when lost
             if int(self.ts.status) == 2 and int(self.map.n_kfs) >= 2:
                 self._reloc_key, sub = jax.random.split(self._reloc_key)
@@ -394,6 +396,12 @@ class SLAMSystem:
         )
         times = np.asarray(self.map.kf_time[:n])
         write_trajectory_tum(path, times, Twc)
+
+    def set_localization_mode(self, enabled: bool) -> None:
+        """System::ActivateLocalizationMode / DeactivateLocalizationMode:
+        when enabled, tracking continues against the frozen map — no
+        keyframe insertion, mapping, CRF updates, or loop closing."""
+        self._localization_only = enabled
 
     def reset(self) -> None:
         """System::Reset — clear the map and tracking state."""

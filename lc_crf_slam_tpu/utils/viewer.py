@@ -59,3 +59,45 @@ def plot_map(
     fig.tight_layout()
     fig.savefig(out_path, dpi=130)
     plt.close(fig)
+
+
+def plot_frame(
+    gray, frame, obs=None, p_dyn=None, out_path: str = "frame.png",
+    title: str = "current frame",
+) -> None:
+    """FrameDrawer equivalent: grayscale image with keypoints overlaid —
+    green = tracked static, red = dynamic-labeled, gray = unmatched."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gray = np.asarray(gray)
+    uv = np.asarray(frame.uv)
+    valid = np.asarray(frame.valid)
+    fig, ax = plt.subplots(figsize=(10, 7.5))
+    ax.imshow(gray, cmap="gray", vmin=0, vmax=255)
+    if obs is not None:
+        obs = np.asarray(obs)
+        tracked = valid & (obs >= 0)
+        dyn = np.zeros_like(tracked)
+        if p_dyn is not None:
+            p_dyn = np.asarray(p_dyn)
+            dyn = tracked & (p_dyn[np.maximum(obs, 0)] > 0.5)
+        ax.scatter(uv[valid & ~tracked, 0], uv[valid & ~tracked, 1],
+                   s=6, c="#aaaaaa", marker=".", label="unmatched")
+        ax.scatter(uv[tracked & ~dyn, 0], uv[tracked & ~dyn, 1],
+                   s=12, facecolors="none", edgecolors="#2ca02c",
+                   label="tracked static")
+        if dyn.any():
+            ax.scatter(uv[dyn, 0], uv[dyn, 1], s=14, facecolors="none",
+                       edgecolors="#d62728", label="dynamic")
+        ax.legend(loc="lower right", fontsize=8)
+    else:
+        ax.scatter(uv[valid, 0], uv[valid, 1], s=8, facecolors="none",
+                   edgecolors="#2ca02c")
+    ax.set_title(title)
+    ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)

@@ -101,3 +101,29 @@ class TestStereo:
         ok = jnp.ones(K, bool)
         ur, d = stereo_match(TUM3, uv_l, lvl, desc, ok, uv_r, lvl, desc, ok)
         assert float(jnp.sum(d > 0)) == 0
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_driver_env(self):
+        """The driver invokes dryrun_multichip with JAX_PLATFORMS=cpu and
+        forced host device count; it must build a genuine N-device mesh."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import importlib.util;"
+             "spec = importlib.util.spec_from_file_location("
+             "'ge', '/root/repo/__graft_entry__.py');"
+             "ge = importlib.util.module_from_spec(spec);"
+             "spec.loader.exec_module(ge);"
+             "ge.dryrun_multichip(8)"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert "dryrun_multichip(8): OK" in r.stdout
