@@ -238,6 +238,90 @@ class SLAMSystem:
         frame = fl._replace(u_right=u_right, depth=depth)
         return self._track_frame(frame, timestamp)
 
+    def track_sequence(self, grays, depths, timestamps,
+                       chunk: int = 8) -> np.ndarray:
+        """Throughput mode: track N frames as chunked lax.scan programs —
+        zero host round-trips inside a chunk (this is how bench.py
+        measures frames/s). Keyframe insertion / mapping / CRF run
+        between chunks for the LAST frame of a chunk that requested a
+        keyframe, so KF latency is bounded by `chunk` frames (the
+        reference's mapping thread also trails tracking by a queue).
+        Returns (N, 4, 4) camera poses Tcw."""
+        import jax
+
+        grays = jnp.asarray(grays, jnp.float32)
+        depths = jnp.asarray(depths, jnp.float32)
+        n = grays.shape[0]
+        if not self.initialized:
+            self.track_rgbd(np.asarray(grays[0]), np.asarray(depths[0]),
+                            float(timestamps[0]))
+            grays, depths = grays[1:], depths[1:]
+            timestamps = timestamps[1:]
+            n -= 1
+
+        if getattr(self, "_scan_chunk_fn", None) is None or \
+                self._scan_chunk_len != chunk:
+            cfg, cam = self.cfg, self.cam
+
+            @jax.jit
+            def run_chunk(m, ts, grays, depths):
+                def step(carry, inp):
+                    m, ts = carry
+                    fr = build_frame(cam, cfg, inp[0], inp[1])
+                    ts2, m2, info = track_step(cfg, cam, m, ts, fr)
+                    out = (ts2.Tcw, info.need_kf, info.obs, info.near_map,
+                           fr)
+                    return (m2, ts2), out
+                (m, ts), outs = jax.lax.scan(step, (m, ts), (grays, depths))
+                return m, ts, outs
+
+            self._scan_chunk_fn = run_chunk
+            self._scan_chunk_len = chunk
+
+        poses = []
+        i = 0
+        while i < n:
+            j = min(i + chunk, n)
+            g = grays[i:j]
+            d = depths[i:j]
+            if j - i < chunk:   # pad the tail chunk to keep shapes static
+                pad = chunk - (j - i)
+                g = jnp.concatenate([g, jnp.repeat(g[-1:], pad, 0)])
+                d = jnp.concatenate([d, jnp.repeat(d[-1:], pad, 0)])
+            m2, ts2, outs = self._scan_chunk_fn(self.map, self.ts, g, d)
+            Tcw_seq, need_kf, obs_seq, near_seq, fr_seq = outs
+            take = j - i
+            self.map, self.ts = m2, ts2
+            poses.append(np.asarray(Tcw_seq)[:take])
+            for k in range(take):
+                self.trajectory.append(
+                    (float(timestamps[i + k]), np.asarray(
+                        se3_inverse(Tcw_seq[k])))
+                )
+            flags = np.asarray(need_kf)[:take]
+            if flags.any() and not getattr(self, "_localization_only", False):
+                k = int(np.nonzero(flags)[0][-1])  # latest requester
+                frame_k = jax.tree.map(lambda x: x[k], fr_seq)
+                # rewind the tracker's frame buffers to frame k's state is
+                # unnecessary: insert_keyframe only reads pose + frame data
+                self.map, self.ts = self._insert_kf(
+                    self.cfg, self.cam, self.map,
+                    self.ts._replace(Tcw=Tcw_seq[k]), frame_k,
+                    obs_seq[k], jnp.asarray(float(timestamps[i + k])),
+                    near_seq[k],
+                )
+                self.ts = self.ts._replace(Tcw=Tcw_seq[take - 1])
+                if self.enable_mapping:
+                    self.map = self._mapping(
+                        self.cfg, self.cam, self.map, self.ts.ref_kf)
+                if self.enable_loop:
+                    self._try_close_loop()
+            if self.enable_crf:
+                self.map, _ = self._crf(
+                    self.cfg, self.map, self.ts.frame_idx)
+            i = j
+        return np.concatenate(poses)
+
     def track_observations(self, uv, depth, desc, timestamp: float) -> np.ndarray:
         """Pipeline-test entry: track a frame given direct observations."""
         frame = frame_from_observations(

@@ -86,25 +86,40 @@ class TestTrackingObservations:
 class TestTrackingImages:
     """Full pipeline including the image front-end."""
 
-    def test_rendered_sequence_smoke(self):
-        """Smoke: the full image pipeline runs and tracks the first frames.
-
-        The dot-splat renderer's white-noise textures give marginal
-        descriptor repeatability (unlike natural images), so this is a
-        plumbing test, not an accuracy gate; accuracy is gated on the
-        observation-level tests above until the renderer warps a global
-        texture (TODO M2+).
-        """
+    def test_rendered_sequence_ate(self):
+        """Full image pipeline accuracy over a whole trajectory."""
         world = SyntheticWorld(
-            cam=TUM3, n_frames=10, n_static=500, n_dynamic=0, seed=5,
+            cam=TUM3, n_frames=20, n_static=500, n_dynamic=0, seed=5,
             pixel_noise=0.0, depth_noise=0.0,
         )
         slam = SLAMSystem(TUM3, SLAMConfig())
-        for k in range(4):
+        for k in range(20):
             f = world.frame(k, render=True)
-            Tcw = slam.track_rgbd(f.image, f.depth_image, f.timestamp)
-        assert np.all(np.isfinite(Tcw))
-        T_true = np.linalg.inv(world.gt_pose_twc(3))
-        err = np.linalg.norm(Tcw[:3, 3] - T_true[:3, 3])
-        assert err < 0.05, f"early-frame tracking err {err}"
-        assert slam.stats[-1]["n_inliers"] > 50
+            slam.track_rgbd(f.image, f.depth_image, f.timestamp)
+        ts_est, pe = slam.get_trajectory()
+        gt_t, gt = world.groundtruth()
+        ate = evaluate_ate(ts_est, pe, gt_t, gt)
+        assert ate.rmse < 0.02, f"ATE {ate}"
+        assert all(s.get("status", 1) == 1 for s in slam.stats[1:])
+
+    def test_track_sequence_chunked(self):
+        """Throughput mode (chunked lax.scan) matches per-frame quality."""
+        from lc_crf_slam_tpu.config import TrackingConfig
+
+        world = SyntheticWorld(
+            cam=TUM3, n_frames=16, n_static=500, n_dynamic=0, seed=5,
+            pixel_noise=0.0, depth_noise=0.0,
+        )
+        frames = [world.frame(k, render=True) for k in range(16)]
+        grays = np.stack([f.image for f in frames])
+        depths = np.stack([f.depth_image for f in frames])
+        ts = [f.timestamp for f in frames]
+        slam = SLAMSystem(
+            TUM3, SLAMConfig(tracking=TrackingConfig(max_frames_between_kf=6))
+        )
+        poses = slam.track_sequence(grays, depths, ts, chunk=4)
+        assert poses.shape == (15, 4, 4)
+        ts_est, pe = slam.get_trajectory()
+        gt_t, gt = world.groundtruth()
+        ate = evaluate_ate(ts_est, pe, gt_t, gt)
+        assert ate.rmse < 0.02, f"ATE {ate}"
