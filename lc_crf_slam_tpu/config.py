@@ -72,6 +72,13 @@ class PoseOptConfig:
     huber_delta_mono: float = 2.4477   # sqrt(5.991)
     huber_delta_stereo: float = 2.7955  # sqrt(7.815)
     init_lambda: float = 1e-3
+    # capture-resistance audit (ba.pose_consensus): batched Horn
+    # hypotheses scored under a TIGHT reprojection window; the LM solve
+    # is replaced when a hypothesis decisively out-scores it
+    consensus_hypotheses: int = 128
+    consensus_chi2: float = 2.0        # tight window (1.4px at level 0)
+    consensus_ratio: float = 1.08      # decisive-win margin
+    consensus_min_3d: int = 30         # skip audit without enough depth
 
 
 @dataclass(frozen=True)
@@ -117,7 +124,10 @@ class CRFConfig:
     w_reproj: float = 1.0           # long-term reprojection consistency
     w_depth: float = 1.0            # projected-vs-measured depth
     w_flow: float = 0.5             # short-term track / flow consistency
-    reproj_sigma: float = 0.6       # px
+    reproj_sigma: float = 0.6       # px, on the post-opt residual at
+                                    # the audited pose (tracking.py)
+    miss_err: float = 2.5           # px EMA target for
+                                    # visible-but-unmatched tracks
     depth_sigma: float = 0.03       # relative depth error scale
     flow_sigma: float = 2.0         # px
     prior_static: float = 0.6       # label prior

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PoseOptConfig
+from ..geometry.align import umeyama_alignment
 from ..geometry.camera import Pinhole
 from ..geometry.se3 import exp_se3, hat_so3
 
@@ -151,3 +152,112 @@ def pose_optimize(
         chi2=chi2_total,
         n_inliers=jnp.sum(inliers.astype(jnp.int32)),
     )
+
+
+def _tight_score(cam, Tcw, pw, obs_uv, inv_sigma2, valid, tight_chi2):
+    """Count of points within a TIGHT reprojection window under Tcw."""
+    pc = pw @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = cam.fx * pc[..., 0] / z + cam.cx
+    v = cam.fy * pc[..., 1] / z + cam.cy
+    chi2 = (
+        jnp.square(u - obs_uv[..., 0]) + jnp.square(v - obs_uv[..., 1])
+    ) * inv_sigma2
+    ok = (chi2 < tight_chi2) & valid & (pc[..., 2] > 0.05)
+    return jnp.sum(ok.astype(jnp.int32), axis=-1)
+
+
+def pose_consensus(
+    cam: Pinhole,
+    T_lm: jax.Array,       # (4, 4) the LM solve to audit
+    pw: jax.Array,         # (N, 3) matched world points
+    pc_cam: jax.Array,     # (N, 3) frame keypoints unprojected by depth
+    obs_uv: jax.Array,     # (N, 2)
+    level: jax.Array,      # (N,)
+    valid3d: jax.Array,    # (N,) bool: usable for hypothesis sampling
+    valid_score: jax.Array,  # (N,) bool: counted in consensus
+    key: jax.Array,
+    n_hypotheses: int = 128,
+    tight_chi2: float = 4.0,
+    scale_factor: float = 1.2,
+):
+    """Capture-resistance audit of a motion-only solve.
+
+    A coherently moving cluster can capture the Huber LM solve into a
+    compromise basin whose STANDARD-chi2 inlier count exceeds the true
+    pose's (the cluster fits exactly, far statics fit loosely) — count-
+    based reclassification then locks in the wrong pose. The bias is
+    visible only under a TIGHT threshold: near the true pose the static
+    majority fits to noise level, while the compromise fits the (smaller)
+    cluster plus few statics. So: sample batched 3-point Horn hypotheses
+    from depth-unprojected keypoints vs map points, score every
+    hypothesis AND the LM pose with a tight reprojection window, and
+    report the best hypothesis with both scores; the caller re-polishes
+    from the hypothesis when it decisively wins. Replaces nothing in the
+    reference (whose tracker is capturable — its walking-sequence
+    failure mode [SURVEY.md §7]); this is the TPU-parallel complement to
+    the CRF labeler that lets evidence be measured at an uncaptured pose.
+    """
+    N = pw.shape[0]
+    inv_sigma2 = (1.0 / scale_factor**2) ** level.astype(jnp.float32)
+    p = valid3d.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    idx = jax.random.choice(key, N, shape=(n_hypotheses, 3), p=p)
+    _, R_h, t_h = umeyama_alignment(pw[idx], pc_cam[idx], with_scale=False)
+    T_h = (
+        jnp.zeros((n_hypotheses, 4, 4), pw.dtype)
+        .at[:, :3, :3].set(R_h)
+        .at[:, :3, 3].set(t_h)
+        .at[:, 3, 3].set(1.0)
+    )
+    # MSAC-style polish: a raw 3-point Horn pose carries the depth noise
+    # (~cm), far too loose to collect a tight-window consensus; refine
+    # every hypothesis with gated Gauss-Newton on the PIXEL residuals,
+    # tightening the gate each sweep so the moving cluster (many px off
+    # a static-born hypothesis) drops out while the static majority
+    # anchors the pose to sub-pixel.
+    mono_ur = jnp.full((N,), -1.0, pw.dtype)
+    not_stereo = jnp.zeros((N,), bool)
+
+    def polish(T):
+        def sweep(T, gate_chi2):
+            r, J, z_ok = _residuals_jacobians(
+                cam, T, pw, obs_uv, mono_ur, not_stereo
+            )
+            chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+            w = jnp.where(
+                valid_score & z_ok & (chi2 < gate_chi2), inv_sigma2, 0.0
+            )
+            H = jnp.einsum("nij,n,nik->jk", J, w, J)
+            g = jnp.einsum("nij,n,ni->j", J, w, r)
+            dx = -jnp.linalg.solve(H + 1e-6 * jnp.eye(6), g)
+            return exp_se3(dx) @ T, None
+
+        T, _ = jax.lax.scan(sweep, T, jnp.asarray([25.0, 9.0, tight_chi2]))
+        return T
+
+    T_h = jax.vmap(polish)(T_h)
+    scores = jax.vmap(
+        lambda T: _tight_score(
+            cam, T, pw, obs_uv, inv_sigma2, valid_score, tight_chi2
+        )
+    )(T_h)
+    best = jnp.argmax(scores)
+    score_lm = _tight_score(
+        cam, T_lm, pw, obs_uv, inv_sigma2, valid_score, tight_chi2
+    )
+    # inlier set of the winning hypothesis under a slightly relaxed
+    # window: the caller re-polishes RESTRICTED to this set — running the
+    # standard solve (with its generous 5.991 reclassification windows)
+    # over all matches from the rescued pose would simply re-admit the
+    # cluster and fall back into the compromise minimum.
+    T_best = T_h[best]
+    pc = pw @ T_best[:3, :3].T + T_best[:3, 3]
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    u = cam.fx * pc[:, 0] / z + cam.cx
+    v = cam.fy * pc[:, 1] / z + cam.cy
+    chi2 = (
+        jnp.square(u - obs_uv[:, 0]) + jnp.square(v - obs_uv[:, 1])
+    ) * inv_sigma2
+    best_mask = (chi2 < 2.0 * tight_chi2) & valid_score & (pc[:, 2] > 0.05)
+    return T_best, scores[best], score_lm, best_mask

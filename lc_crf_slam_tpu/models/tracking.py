@@ -30,7 +30,7 @@ from ..ops.match import (
     resolve_duplicates,
     rotation_consistency,
 )
-from .ba import pose_optimize
+from .ba import pose_consensus, pose_optimize
 from .frame import Frame
 from .mapstate import MapState, add_keyframe, add_points
 
@@ -296,8 +296,56 @@ def track_step(
         cam, T1, pw_fin, frame.uv, frame.u_right, frame.level,
         assoc, cfg.pose_opt, cfg.orb.scale_factor,
     )
-    T2 = orthonormalize_se3(r2.Tcw)
-    inlier = r2.inliers
+
+    # ---- 3b. capture-resistance audit (see ba.pose_consensus) --------------
+    # A coherent dynamic cluster can capture the LM solve into a
+    # compromise basin that standard chi2 counts PREFER; audit with
+    # batched Horn hypotheses + tight-window consensus and re-polish
+    # from the winning hypothesis when it decisively beats the solve.
+    # cfg is jit-static, so the disabled path compiles to nothing.
+    pcfg = cfg.pose_opt
+    if pcfg.consensus_hypotheses > 0:
+        pc_cam_q = jnp.stack(
+            [
+                (frame.uv[:, 0] - cam.cx) / cam.fx * frame.depth,
+                (frame.uv[:, 1] - cam.cy) / cam.fy * frame.depth,
+                frame.depth,
+            ],
+            axis=-1,
+        )
+        valid3d = assoc & (frame.depth > 0)
+        n3d = jnp.sum(valid3d.astype(jnp.int32))
+        ckey = jax.random.fold_in(jax.random.PRNGKey(17), ts.frame_idx)
+        T_hyp, s_hyp, s_lm, hyp_mask = pose_consensus(
+            cam, r2.Tcw, pw_fin, pc_cam_q, frame.uv, frame.level,
+            valid3d, assoc, ckey,
+            n_hypotheses=pcfg.consensus_hypotheses,
+            tight_chi2=pcfg.consensus_chi2,
+            scale_factor=cfg.orb.scale_factor,
+        )
+        use_rescue = (
+            (s_hyp.astype(jnp.float32)
+             > pcfg.consensus_ratio * s_lm.astype(jnp.float32))
+            & (n3d >= pcfg.consensus_min_3d)
+        )
+        import os as _os
+        if _os.environ.get("SLAM_DEBUG_CONSENSUS"):
+            jax.debug.print(
+                "consensus f={f} s_hyp={a} s_lm={b} n3d={n} rescue={r}",
+                f=ts.frame_idx, a=s_hyp, b=s_lm, n=n3d, r=use_rescue,
+            )
+        r3 = jax.lax.cond(
+            use_rescue,
+            lambda: pose_optimize(
+                cam, T_hyp, pw_fin, frame.uv, frame.u_right, frame.level,
+                assoc & hyp_mask, cfg.pose_opt, cfg.orb.scale_factor,
+            ),
+            lambda: r2,
+        )
+    else:
+        r3 = r2
+    T2 = orthonormalize_se3(r3.Tcw)
+    inlier = r3.inliers
     # reference mnMatchesInliers: count only MAP-point inliers (temporal
     # VO points keep the pose stable but must not mask map degradation
     # in the keyframe decision)
@@ -324,7 +372,15 @@ def track_step(
     m = m._replace(
         p_found=m.p_found.at[matched_pts].add(1, mode="drop")
     )
-    # long-term consistency evidence per observed point
+    # [CRF] long-term consistency evidence, measured at the audited pose:
+    # post-optimization residuals are the clean discriminator (statics at
+    # noise level, dynamics many px) PROVIDED the solve is not captured
+    # by a coherent dynamic cluster — which the consensus audit above
+    # guards. (Motion-model-prediction residuals with median centering
+    # and/or MAD normalization were tried first and measured worse: the
+    # prediction error's parallax structure inflates static residuals
+    # with camera speed, and the normalized variant loses the contrast
+    # exactly in the bootstrap frames where capture begins.)
     reproj_err = jnp.linalg.norm(frame.uv - uv2[jnp.maximum(obs, 0)], axis=-1)
     depth_err = jnp.where(
         frame.depth > 0,
@@ -343,6 +399,26 @@ def track_step(
         p_depth_err_ema=m.p_depth_err_ema.at[upd_ids].set(
             decay * derr_old + (1 - decay) * depth_err, mode="drop"
         ),
+    )
+    # [CRF] visible-but-not-found evidence: a dynamic point's map position
+    # goes stale as the object moves, so within a few frames the feature
+    # leaves the match gate and the track stops producing reprojection
+    # residuals at all — the *miss itself* is the long-term inconsistency
+    # signal (the reference tracks the same thing as the found/visible
+    # ratio). Feed misses into the error EMA so stale dynamics keep
+    # accumulating energy while they sit in the frustum unmatched;
+    # occasional static misses (occlusion) are washed out by the decay.
+    assoc_mask = (
+        jnp.zeros(m.capacity_points, bool).at[upd_ids].set(True, mode="drop")
+    )
+    missed = local_ok & ~assoc_mask[local_ids]
+    miss_ids = jnp.where(missed, local_ids, m.capacity_points)
+    err_miss_old = m.p_err_ema[local_ids]
+    m = m._replace(
+        p_err_ema=m.p_err_ema.at[miss_ids].set(
+            decay * err_miss_old + (1 - decay) * cfg.crf.miss_err,
+            mode="drop",
+        )
     )
 
     # ---- 5. keyframe decision (RGB-D close-point rules) --------------------
@@ -414,6 +490,21 @@ def insert_keyframe(
     cand = frame.valid & (frame.depth > 0) & (obs < 0)
     if near_map is not None:
         cand &= ~near_map
+    # [CRF] dynamic-region veto: do not spawn points inside the spatial
+    # envelope of dynamic-labeled tracks (alive or culled) — otherwise the
+    # moving object is re-ingested every keyframe (SURVEY.md §4.5: labels
+    # gate map growth)
+    pw_cand = _unproject_world(cam, se3_inverse(ts.Tcw), frame.uv, frame.depth)
+    dyn_sel = (m.p_dyn > cfg.crf.dynamic_threshold) & (m.p_n_obs > 0)
+    _, dyn_ids = jax.lax.top_k(dyn_sel.astype(jnp.float32), 512)
+    dyn_ok = dyn_sel[dyn_ids]
+    d2 = jnp.sum(
+        (pw_cand[:, None, :] - m.p_xyz[dyn_ids][None, :, :]) ** 2, axis=-1
+    )
+    near_dyn = jnp.any(
+        (d2 <= cfg.crf.spatial_sigma**2) & dyn_ok[None, :], axis=1
+    )
+    cand &= ~near_dyn
     # nearest-first cap
     score = jnp.where(cand, -frame.depth, -1e9)
     k_new = cfg.mapping.max_new_points_per_kf

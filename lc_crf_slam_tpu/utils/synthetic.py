@@ -47,6 +47,7 @@ class SyntheticWorld:
     depth_noise: float = 0.01
     desc_flip_prob: float = 0.02      # per-bit observation noise
     dynamic_speed: float = 0.04       # m/frame cluster translation
+    dynamic_dir: Optional[tuple] = None  # None = random (z damped)
     trajectory: str = "orbit"         # orbit | line | loop
     box: tuple = (6.0, 4.0, 4.0)      # world extents (x, y, z)
     rng: np.random.Generator = field(init=False)
@@ -66,8 +67,11 @@ class SyntheticWorld:
         # Dynamic cluster: compact blob that translates over time
         center = np.array([bx * 0.15, 0.0, 3.0])
         self.p_dyn0 = center + self.rng.normal(0, 0.3, (self.n_dynamic, 3))
-        dirv = self.rng.normal(0, 1, 3)
-        dirv[2] *= 0.2
+        if self.dynamic_dir is not None:
+            dirv = np.asarray(self.dynamic_dir, np.float64)
+        else:
+            dirv = self.rng.normal(0, 1, 3)
+            dirv[2] *= 0.2
         self.dyn_dir = dirv / (np.linalg.norm(dirv) + 1e-9)
         # One stable 256-bit descriptor per world point
         n_total = self.n_static + self.n_dynamic

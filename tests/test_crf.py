@@ -143,3 +143,48 @@ class TestCRFE2E:
         ts_est, pe = slam.get_trajectory()
         gt_t, pg = world.groundtruth()
         assert evaluate_ate(ts_est, pe, gt_t, pg).rmse < 0.005
+
+
+@pytest.mark.slow
+class TestCRFStress:
+    def test_dynamic_defense_rescues_heavy_dynamic_scene(self):
+        """The paper's headline claim in miniature (config 2/3 ladder):
+        with ~25% of matched points on a coherently moving object, the
+        undefended Huber LM tracker is captured by the compromise basin
+        from frame 1 — the standard-chi2 inlier count PREFERS the
+        captured pose (cluster fits exactly + far statics loosely), the
+        ORB-SLAM2 failure mode on walking scenes (~0.1 m ATE here).
+        The dynamic defense (tight-window consensus audit in
+        ba.pose_consensus + CRF labeling/exclusion) restores ~mm
+        accuracy."""
+        import dataclasses
+
+        from lc_crf_slam_tpu.config import TrackingConfig
+
+        results = {}
+        for defended in (False, True):
+            world = SyntheticWorld(
+                cam=TUM3, n_frames=60, n_static=700, n_dynamic=150,
+                seed=4, dynamic_speed=0.03,
+            )
+            cfg = SLAMConfig(
+                tracking=TrackingConfig(max_frames_between_kf=10))
+            if not defended:
+                cfg = dataclasses.replace(
+                    cfg,
+                    pose_opt=dataclasses.replace(
+                        cfg.pose_opt, consensus_hypotheses=0
+                    ),
+                )
+            slam = SLAMSystem(TUM3, cfg, enable_crf=defended)
+            for k in range(60):
+                f = world.frame(k)
+                slam.track_observations(f.uv, f.depth, f.desc, f.timestamp)
+            ts_est, pe = slam.get_trajectory()
+            gt_t, gt = world.groundtruth()
+            results[defended] = evaluate_ate(ts_est, pe, gt_t, gt).rmse
+        assert results[False] > 0.05, (
+            f"undefended tracker unexpectedly robust: {results}"
+        )
+        assert results[True] < 0.02, f"defense did not rescue: {results}"
+        assert results[True] < 0.25 * results[False], results
