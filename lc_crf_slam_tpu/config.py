@@ -75,10 +75,11 @@ class PoseOptConfig:
     # capture-resistance audit (ba.pose_consensus): batched Horn
     # hypotheses scored under a TIGHT reprojection window; the LM solve
     # is replaced when a hypothesis decisively out-scores it
-    consensus_hypotheses: int = 128
+    consensus_hypotheses: int = 64
     consensus_chi2: float = 2.0        # tight window (1.4px at level 0)
     consensus_ratio: float = 1.08      # decisive-win margin
     consensus_min_3d: int = 30         # skip audit without enough depth
+    consensus_audit_points: int = 256  # association subsample for audit
 
 
 @dataclass(frozen=True)

@@ -322,6 +322,7 @@ def track_step(
             n_hypotheses=pcfg.consensus_hypotheses,
             tight_chi2=pcfg.consensus_chi2,
             scale_factor=cfg.orb.scale_factor,
+            audit_points=pcfg.consensus_audit_points,
         )
         use_rescue = (
             (s_hyp.astype(jnp.float32)

@@ -44,3 +44,60 @@ class TestDistBA:
         f = jax.jit(lambda p: dist_solve_ba(TUM3, p, mesh, n_iters=3))
         cam_d, p_d, stats = f(prob)
         assert np.isfinite(float(stats.cost))
+
+
+class TestDistCRF:
+    def _toy(self, n=512, seed=0):
+        from lc_crf_slam_tpu.config import SLAMConfig
+
+        rng = np.random.default_rng(seed)
+        cfg = SLAMConfig()
+        xyz = jnp.asarray(rng.uniform(-3, 3, (n, 3)), jnp.float32)
+        ok = jnp.asarray(rng.uniform(size=n) < 0.9)
+        u_s = jnp.asarray(rng.gamma(2.0, 1.0, n), jnp.float32)
+        u_d = jnp.full((n,), 4.0, jnp.float32)
+        return cfg, xyz, ok, u_s, u_d
+
+    def test_knn_matches_single_device(self, mesh):
+        from lc_crf_slam_tpu.models.crf import knn_graph
+        from lc_crf_slam_tpu.parallel.dist_crf import dist_knn_graph
+
+        cfg, xyz, ok, *_ = self._toy()
+        nbr_s, w_s = knn_graph(cfg, xyz, ok)
+        nbr_d, w_d = dist_knn_graph(cfg, xyz, ok, mesh)
+        # neighbor SETS must agree (top-k tie order may differ)
+        ws = np.sort(np.asarray(w_s), axis=-1)
+        wd = np.sort(np.asarray(w_d), axis=-1)
+        np.testing.assert_allclose(wd, ws, atol=1e-5)
+        ns = np.sort(np.asarray(nbr_s), axis=-1)
+        nd = np.sort(np.asarray(nbr_d), axis=-1)
+        same = (ns == nd).all(axis=-1)
+        assert same.mean() > 0.99, same.mean()
+
+    def test_mean_field_matches_single_device(self, mesh):
+        from lc_crf_slam_tpu.models.crf import knn_graph, mean_field
+        from lc_crf_slam_tpu.parallel.dist_crf import dist_mean_field
+
+        cfg, xyz, ok, u_s, u_d = self._toy(seed=3)
+        nbr, w = knn_graph(cfg, xyz, ok)
+        q_s = mean_field(cfg, u_s, u_d, nbr, w, ok)
+        q_d = dist_mean_field(cfg, u_s, u_d, nbr, w, ok, mesh)
+        np.testing.assert_allclose(
+            np.asarray(q_d), np.asarray(q_s), atol=1e-5
+        )
+
+    def test_jit_end_to_end(self, mesh):
+        from lc_crf_slam_tpu.parallel.dist_crf import (
+            dist_knn_graph, dist_mean_field,
+        )
+
+        cfg, xyz, ok, u_s, u_d = self._toy(seed=5)
+
+        @jax.jit
+        def label(xyz, ok, u_s, u_d):
+            nbr, w = dist_knn_graph(cfg, xyz, ok, mesh)
+            return dist_mean_field(cfg, u_s, u_d, nbr, w, ok, mesh)
+
+        q = label(xyz, ok, u_s, u_d)
+        q = np.asarray(q)
+        assert np.isfinite(q).all() and (q >= 0).all() and (q <= 1).all()
