@@ -396,6 +396,7 @@ class SLAMSystem:
                 info_host_crf = {}
             info_host = {
                 "n_mm": int(info.n_mm_matches),
+                "rescued": bool(info.rescued),
                 "n_inliers": int(info.n_inliers),
                 "n_local": int(info.n_local_matches),
                 "need_kf": need_kf,

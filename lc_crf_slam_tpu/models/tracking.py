@@ -66,6 +66,7 @@ class TrackInfo(NamedTuple):
     inlier: jax.Array       # (K,) bool final per-feature inlier mask
     near_map: jax.Array     # (K,) bool feature lies on an existing point's
                             # projection (duplicate guard for KF insertion)
+    rescued: jax.Array      # () bool: consensus audit replaced the solve
 
 
 def empty_track_state(cfg: SLAMConfig) -> TrackState:
@@ -345,6 +346,7 @@ def track_step(
         )
     else:
         r3 = r2
+        use_rescue = jnp.asarray(False)
     T2 = orthonormalize_se3(r3.Tcw)
     inlier = r3.inliers
     # reference mnMatchesInliers: count only MAP-point inliers (temporal
@@ -473,6 +475,7 @@ def track_step(
         obs=jnp.where(inlier, obs, -1),
         inlier=inlier,
         near_map=near_map | (obs >= 0),
+        rescued=use_rescue,
     )
     return ts2, m, info
 
