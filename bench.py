@@ -23,7 +23,10 @@ N_FRAMES = 30
 
 
 def main():
+    from lc_crf_slam_tpu import enable_compilation_cache
     from lc_crf_slam_tpu.config import SLAMConfig
+
+    enable_compilation_cache()
     from lc_crf_slam_tpu.geometry.camera import TUM3
     from lc_crf_slam_tpu.models.frame import build_frame
     from lc_crf_slam_tpu.models.mapstate import empty_map

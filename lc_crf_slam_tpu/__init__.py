@@ -17,3 +17,25 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    Cold compile of the chunked tracking scan costs minutes on a remote
+    TPU backend; the persistent cache makes every run after the first
+    start in seconds. Called by run_slam, bench.py and the driver entry —
+    safe to call repeatedly."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "SLAM_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -187,10 +187,21 @@ class SLAMConfig:
         return dataclasses.replace(self, **kwargs)
 
 
-def tum_config(preset: int = 3, **overrides) -> SLAMConfig:
-    """Config for TUM RGB-D sequence families fr1/fr2/fr3."""
-    cfg = SLAMConfig(**overrides)
-    return cfg
+def tum_config(preset: int = 3, **overrides):
+    """Config + camera for a TUM RGB-D sequence family (fr1/fr2/fr3).
+
+    Returns (SLAMConfig, Pinhole). In the reference the three TUM*.yaml
+    settings files differ only in intrinsics/distortion/baseline — the
+    algorithm constants are shared — so the preset selects the camera
+    model; `overrides` patch the shared config sections.
+    """
+    from .geometry.camera import TUM1, TUM2, TUM3
+
+    try:
+        cam = {1: TUM1, 2: TUM2, 3: TUM3}[preset]
+    except KeyError:
+        raise ValueError(f"unknown TUM preset {preset!r}; expected 1/2/3")
+    return SLAMConfig(**overrides), cam
 
 
 def load_yaml(path: str) -> SLAMConfig:

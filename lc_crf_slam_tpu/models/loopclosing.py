@@ -39,13 +39,24 @@ from .posegraph import PoseGraph, optimize_pose_graph
 
 
 class LoopCandidate(NamedTuple):
-    cand: jax.Array      # () int32 candidate KF (-1 none)
-    score: jax.Array     # () float32 retrieval score
-    valid: jax.Array     # () bool
+    cand: jax.Array      # () int32 best candidate KF (-1 none)
+    score: jax.Array     # () float32 retrieval score of best
+    valid: jax.Array     # () bool any candidate survived
+    cands: jax.Array     # (topk,) int32 surviving candidates (-1 pad)
+    groups: jax.Array    # (topk, F) bool covisibility group per candidate
 
 
 def detect_loop(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> LoopCandidate:
-    """Retrieval + gating (KeyFrameDatabase::DetectLoopCandidates)."""
+    """Retrieval + gating (KeyFrameDatabase::DetectLoopCandidates).
+
+    Full reference retrieval-quality machinery, vocabulary-free: raw
+    cosine scores are accumulated over each candidate's covisibility
+    group (a true revisit lights up a whole neighborhood of keyframes,
+    a perceptual alias lights up one), the best accumulated score sets
+    a 0.75*best admission bar, and the surviving candidates are returned
+    top-k with their groups (the host runs the reference's
+    consecutive-detection group-consistency check over them)."""
+    topk = cfg.loop.retrieval_topk
     sim = m.kf_emb @ m.kf_emb[kf_idx]                   # (F,)
     covis = covisibility(m)
     row = covis[kf_idx]
@@ -65,14 +76,31 @@ def detect_loop(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> LoopCandidat
         & (jnp.abs(ids - kf_idx) >= cfg.loop.min_kfs_since_last)
         & (ids != kf_idx)
     )
-    score = jnp.where(eligible, sim, -jnp.inf)
-    cand = jnp.argmax(score)
-    best = score[cand]
-    valid = jnp.isfinite(best) & (best >= jnp.maximum(min_score, 0.35))
+    floor = jnp.maximum(min_score, 0.35)
+    cand_mask = eligible & (sim >= floor)
+    # accumulated group score: candidate's own score + scores of fellow
+    # candidates inside its covisibility group (reference accScore)
+    nbr = (covis >= cfg.mapping.covisibility_min_weight)      # (F, F)
+    cand_score = jnp.where(cand_mask, sim, 0.0)
+    acc = sim + nbr.astype(sim.dtype) @ cand_score
+    acc = jnp.where(cand_mask, acc, -jnp.inf)
+    best_acc = jnp.max(acc)
+    keep = cand_mask & (acc >= 0.75 * best_acc)
+    # top-k surviving candidates by raw similarity
+    kscore, kidx = jax.lax.top_k(jnp.where(keep, sim, -jnp.inf), topk)
+    kvalid = jnp.isfinite(kscore)
+    cands = jnp.where(kvalid, kidx, -1).astype(jnp.int32)
+    groups = (
+        nbr[jnp.maximum(cands, 0)]
+        | (jnp.arange(m.capacity_kfs)[None, :] == cands[:, None])
+    ) & kvalid[:, None]
+    valid = jnp.any(kvalid)
     return LoopCandidate(
-        cand=jnp.where(valid, cand, -1).astype(jnp.int32),
-        score=best,
+        cand=cands[0],
+        score=kscore[0],
         valid=valid,
+        cands=cands,
+        groups=groups,
     )
 
 
@@ -275,49 +303,64 @@ class RelocResult(NamedTuple):
     accepted: jax.Array
 
 
+RELOC_CANDS = 4   # retrieval candidates tried in parallel
+
+
 def relocalize(
     cfg: SLAMConfig, cam: Pinhole, m: MapState, frame: Frame,
     key: jax.Array,
 ) -> RelocResult:
-    """Tracking::Relocalization: retrieval -> descriptor matching ->
-    depth-backed 3D-3D Horn RANSAC -> motion-only refinement."""
+    """Tracking::Relocalization: multi-candidate retrieval -> descriptor
+    matching -> batched 2D-3D PnP RANSAC -> motion-only refinement.
+
+    Mirrors the reference's DetectRelocalizationCandidates (top
+    candidates with a 0.75*best admission bar) + PnPsolver loop, all
+    candidates evaluated in parallel via vmap. The PnP path needs no
+    query depth — relocalization works for mono frames and depthless
+    features (the r1 Horn path required per-feature depth)."""
+    from ..ops.pnp import pnp_ransac
     from .mapstate import _descriptor_embedding
 
     emb = _descriptor_embedding(frame.desc, frame.valid)
     sim = m.kf_emb @ emb
     eligible = m.kf_alive & (jnp.arange(m.capacity_kfs) < m.n_kfs)
-    cand = jnp.argmax(jnp.where(eligible, sim, -jnp.inf))
+    score = jnp.where(eligible, sim, -jnp.inf)
+    kscore, cands = jax.lax.top_k(score, RELOC_CANDS)
+    # 0.75*best admission bar (KeyFrameDatabase)
+    cand_ok = jnp.isfinite(kscore) & (kscore >= 0.75 * kscore[0])
 
-    dist = hamming_matrix(frame.desc, m.kf_desc[cand])
-    gate = frame.valid[:, None] & m.kf_valid[cand][None, :]
-    mm = match_nn(dist, mask=gate, max_dist=cfg.matcher.th_low,
-                  ratio=cfg.matcher.nn_ratio_reloc, mutual=True)
-    mv = resolve_duplicates(mm.idx, mm.dist, mm.valid, dist.shape[1])
-    # frame points in camera frame; candidate's points in world
-    fx = (frame.uv[:, 0] - cam.cx) / cam.fx * frame.depth
-    fy = (frame.uv[:, 1] - cam.cy) / cam.fy * frame.depth
-    p_cam = jnp.stack([fx, fy, frame.depth], axis=-1)
-    p_w, ok_w = _kf_world_points(cam, m, cand)
-    pairs_ok = mv & (frame.depth > 0) & ok_w[mm.idx]
-    res = horn_ransac(
-        p_w[mm.idx], p_cam, pairs_ok, key,
-        n_hypotheses=cfg.loop.ransac_hypotheses,
-        inlier_tol=0.10, fix_scale=True,
-    )
-    Tcw0 = make_se3(res.R, res.t)
-    # refine against the candidate's map points
-    obs = jnp.where(mv, m.kf_obs[cand][mm.idx], -1)
-    has_pt = obs >= 0
-    pw_pts = m.p_xyz[jnp.maximum(obs, 0)]
-    r = pose_optimize(
-        cam, Tcw0, pw_pts, frame.uv, frame.u_right, frame.level,
-        has_pt & res.inliers, cfg.pose_opt, cfg.orb.scale_factor,
-    )
-    accepted = (res.n_inliers >= 15) & (
-        r.n_inliers >= cfg.tracking.min_inliers_reloc // 2
-    )
+    def per_candidate(cand, ok, k):
+        dist = hamming_matrix(frame.desc, m.kf_desc[cand])
+        gate = frame.valid[:, None] & m.kf_valid[cand][None, :] & ok
+        mm = match_nn(dist, mask=gate, max_dist=cfg.matcher.th_low,
+                      ratio=cfg.matcher.nn_ratio_reloc, mutual=True)
+        mv = resolve_duplicates(mm.idx, mm.dist, mm.valid, dist.shape[1])
+        # 2D-3D pairs: frame pixels vs the candidate's MAP POINTS
+        obs = jnp.where(mv, m.kf_obs[cand][mm.idx], -1)
+        has_pt = obs >= 0
+        pw_pts = m.p_xyz[jnp.maximum(obs, 0)]
+        res = pnp_ransac(
+            cam, pw_pts, frame.uv, frame.level, has_pt & mv, k,
+            n_hypotheses=cfg.loop.ransac_hypotheses,
+            chi2_th=cfg.pose_opt.chi2_mono,
+            scale_factor=cfg.orb.scale_factor,
+        )
+        Tcw0 = make_se3(res.R, res.t)
+        r = pose_optimize(
+            cam, Tcw0, pw_pts, frame.uv, frame.u_right, frame.level,
+            has_pt & res.inliers, cfg.pose_opt, cfg.orb.scale_factor,
+        )
+        acc = ok & res.ok & (
+            r.n_inliers >= cfg.tracking.min_inliers_reloc // 2
+        )
+        return r.Tcw, r.n_inliers, acc
+
+    keys = jax.random.split(key, RELOC_CANDS)
+    Tcws, n_inl, accs = jax.vmap(per_candidate)(cands, cand_ok, keys)
+    best = jnp.argmax(jnp.where(accs, n_inl, -1))
+    accepted = accs[best]
     return RelocResult(
-        Tcw=jnp.where(accepted, r.Tcw, jnp.eye(4)),
-        n_inliers=r.n_inliers,
+        Tcw=jnp.where(accepted, Tcws[best], jnp.eye(4)),
+        n_inliers=n_inl[best],
         accepted=accepted,
     )

@@ -402,13 +402,126 @@ def create_new_points(
     return m
 
 
+REFRESH_KFS = 12      # observing-KF window per maintenance pass
+REFRESH_OBS = 8       # descriptor observations kept per point
+REFRESH_POINTS = BA_POINTS
+
+
+def refresh_point_stats(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
+) -> MapState:
+    """MapPoint maintenance: ComputeDistinctiveDescriptors +
+    UpdateNormalAndDepth, batched over the local window.
+
+    The reference refreshes a point's representative descriptor
+    (min-sum-of-Hamming over its observations) and viewing
+    normal / scale range every time observations change
+    (MapPoint.cc, SURVEY.md §3.1); freezing them at creation degrades
+    matching after viewpoint change and fusion. Here each mapping pass
+    gathers up to REFRESH_OBS observations per local point from the
+    covisibility window's keyframes and recomputes all three. Deviation:
+    the scale range uses the first gathered observation (the new KF or
+    its closest covisible) instead of the point's creation KF — the same
+    quantity after any real viewpoint drift."""
+    W = REFRESH_KFS
+    Np = REFRESH_POINTS
+    R = REFRESH_OBS
+    P = m.capacity_points
+    K = m.kf_obs.shape[1]
+
+    covis = covisibility(m)
+    row = covis[kf_idx] * m.kf_alive
+    row = row.at[kf_idx].set(0.0)
+    w_top, nbrs = jax.lax.top_k(row, W - 1)
+    kfs = jnp.concatenate([kf_idx[None], jnp.where(w_top > 0, nbrs, -1)])
+
+    kf_safe = jnp.maximum(kfs, 0)
+    obs = m.kf_obs[kf_safe]                               # (W, K)
+    ovalid = (kfs >= 0)[:, None] & m.kf_valid[kf_safe] & (obs >= 0)
+
+    # local point set = points observed in the window
+    pmask = jnp.zeros((P + 1,), bool).at[
+        jnp.where(ovalid, obs, P).reshape(-1)
+    ].set(True)[:P] & m.p_alive
+    _, pids = jax.lax.top_k(pmask.astype(jnp.float32), Np)
+    pok = pmask[pids]
+    slot_of = jnp.full((P + 1,), Np, jnp.int32).at[
+        jnp.where(pok, pids, P)
+    ].set(jnp.where(pok, jnp.arange(Np, dtype=jnp.int32), Np))
+
+    # gather up to R observations per point: per-KF scatter with a
+    # running per-point rank counter (a point observes each KF at most
+    # once, so ranks within one KF never collide)
+    descs = jnp.zeros((Np + 1, R, 8), jnp.uint32)
+    levels = jnp.zeros((Np + 1, R), jnp.int32)
+    centers = jnp.zeros((Np + 1, R, 3), jnp.float32)
+    has = jnp.zeros((Np + 1, R), bool)
+    count = jnp.zeros((Np + 1,), jnp.int32)
+    Twc_all = jax.vmap(se3_inverse)(m.kf_Tcw)
+    for w in range(W):
+        slots = jnp.where(ovalid[w], slot_of[jnp.where(
+            ovalid[w], obs[w], P)], Np)                    # (K,)
+        rank = count[slots]                                # (K,)
+        ok_w = (slots < Np) & (rank < R)
+        s = jnp.where(ok_w, slots, Np)
+        r_ = jnp.where(ok_w, rank, 0)
+        descs = descs.at[s, r_].set(
+            jnp.where(ok_w[:, None], m.kf_desc[kf_safe[w]], descs[s, r_]))
+        levels = levels.at[s, r_].set(
+            jnp.where(ok_w, m.kf_level[kf_safe[w]], levels[s, r_]))
+        cw = Twc_all[kf_safe[w], :3, 3]
+        centers = centers.at[s, r_].set(
+            jnp.where(ok_w[:, None], cw[None, :], centers[s, r_]))
+        has = has.at[s, r_].set(ok_w | has[s, r_])
+        count = count.at[s].add(ok_w.astype(jnp.int32))
+
+    descs, levels, centers, has = (
+        descs[:Np], levels[:Np], centers[:Np], has[:Np])
+    n_got = jnp.sum(has.astype(jnp.int32), axis=1)         # (Np,)
+
+    # representative descriptor: min sum-of-Hamming to fellow observations
+    x = descs[:, :, None, :] ^ descs[:, None, :, :]        # (Np, R, R, 8)
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    pair_ok = has[:, :, None] & has[:, None, :]
+    dsum = jnp.sum(jnp.where(pair_ok, d, 0), axis=2)       # (Np, R)
+    dsum = jnp.where(has, dsum, jnp.iinfo(jnp.int32).max)
+    rep = jnp.argmin(dsum, axis=1)                         # (Np,)
+    rep_desc = jnp.take_along_axis(
+        descs, rep[:, None, None].repeat(8, -1), axis=1)[:, 0]
+
+    # viewing normal: mean of unit point->camera directions
+    pw = m.p_xyz[pids]                                     # (Np, 3)
+    dirs = centers - pw[:, None, :]
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.sum(jnp.where(has[:, :, None], dirs, 0.0), axis=1)
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    # scale-invariance range from the first gathered observation
+    dist0 = jnp.linalg.norm(pw - centers[:, 0], axis=-1)
+    lvl0 = levels[:, 0].astype(jnp.float32)
+    max_d = dist0 * cfg.orb.scale_factor ** lvl0
+    min_d = max_d / cfg.orb.scale_factor ** (cfg.orb.n_levels - 1)
+
+    upd = pok & (n_got >= 2)
+    tgt = jnp.where(upd, pids, P)
+    return m._replace(
+        p_desc=m.p_desc.at[tgt].set(rep_desc, mode="drop"),
+        p_normal=m.p_normal.at[tgt].set(normal, mode="drop"),
+        p_min_dist=m.p_min_dist.at[tgt].set(min_d, mode="drop"),
+        p_max_dist=m.p_max_dist.at[tgt].set(max_d, mode="drop"),
+    )
+
+
 def mapping_step(
     cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
 ) -> MapState:
-    """LocalMapping::Run body for one keyframe: fuse -> local BA -> cull
-    points -> cull keyframes."""
+    """LocalMapping::Run body for one keyframe: triangulate -> fuse ->
+    point maintenance -> local BA -> cull points -> cull keyframes."""
     m = create_new_points(cfg, cam, m, kf_idx)
     m = fuse_duplicates(cfg, cam, m, kf_idx)
+    m = refresh_point_stats(cfg, cam, m, kf_idx)
     m = local_bundle_adjustment(cfg, cam, m, kf_idx)
     m = cull_points(cfg, m)
     m = cull_keyframes(cfg, m, kf_idx)

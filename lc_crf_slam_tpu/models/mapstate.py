@@ -149,8 +149,12 @@ def add_keyframe(
         kf_emb=upd(m.kf_emb, _descriptor_embedding(frame.desc, frame.valid)),
         n_kfs=m.n_kfs + in_cap.astype(jnp.int32),
     )
-    # bump n_obs for observed points
-    obs = jnp.where(in_cap & frame.valid & (obs_point >= 0), obs_point, -1)
+    # bump n_obs for observed points (dump slot = capacity, NOT -1: JAX
+    # wraps negative dynamic indices even in drop mode, which would
+    # silently corrupt the last point's stats)
+    obs = jnp.where(
+        in_cap & frame.valid & (obs_point >= 0), obs_point, m.capacity_points
+    )
     m = m._replace(
         p_n_obs=m.p_n_obs.at[obs].add(1, mode="drop"),
     )

@@ -67,6 +67,7 @@ class TrackInfo(NamedTuple):
     near_map: jax.Array     # (K,) bool feature lies on an existing point's
                             # projection (duplicate guard for KF insertion)
     rescued: jax.Array      # () bool: consensus audit replaced the solve
+    ref_fallback: jax.Array  # () bool: TrackReferenceKeyFrame path used
 
 
 def empty_track_state(cfg: SLAMConfig) -> TrackState:
@@ -217,6 +218,50 @@ def track_step(
         mm_valid, cfg.pose_opt, cfg.orb.scale_factor,
     )
     T1 = r1.Tcw
+
+    # ---- 1b. TrackReferenceKeyFrame fallback -------------------------------
+    # reference Tracking::Track: when motion-model matching collapses
+    # (jerk, blur, teleport), match the frame against the reference
+    # keyframe's MAP POINTS and re-solve from the last pose before
+    # declaring LOST (SURVEY.md §4.2). lax.cond keeps the dense ref-KF
+    # matching off the healthy-frame hot path.
+    mm_failed = (n_mm < 20) | (r1.n_inliers < 10)
+
+    def _track_ref_kf(_):
+        kf = ts.ref_kf
+        obs_ref = m.kf_obs[kf]
+        valid_ref = m.kf_valid[kf] & (obs_ref >= 0)
+        dist_r = hamming_matrix(frame.desc, m.kf_desc[kf])
+        gate_r = frame.valid[:, None] & valid_ref[None, :]
+        mr = match_nn(dist_r, mask=gate_r, max_dist=mcfg.th_low,
+                      ratio=0.7, mutual=True)
+        mr_valid = mr.valid
+        if mcfg.check_orientation:
+            mr_valid = rotation_consistency(
+                frame.angle, m.kf_angle[kf][mr.idx], mr_valid,
+                mcfg.histo_bins,
+            )
+        mr_valid = resolve_duplicates(
+            mr.idx, mr.dist, mr_valid, frame.capacity)
+        obs_r = jnp.where(mr_valid, obs_ref[mr.idx], -1)
+        ok_r = obs_r >= 0
+        rr = pose_optimize(
+            cam, ts.Tcw, m.p_xyz[jnp.maximum(obs_r, 0)], frame.uv,
+            frame.u_right, frame.level, ok_r, cfg.pose_opt,
+            cfg.orb.scale_factor,
+        )
+        return rr.Tcw, obs_r, ok_r, rr.n_inliers
+
+    def _keep_motion_model(_):
+        return T1, obs_mm, mm_valid & (obs_mm >= 0), r1.n_inliers
+
+    T_fb, obs_fb, val_fb, n_fb = jax.lax.cond(
+        mm_failed, _track_ref_kf, _keep_motion_model, None)
+    use_fb = mm_failed & (n_fb >= 10)
+    T1 = jnp.where(use_fb, T_fb, T1)
+    obs_mm = jnp.where(use_fb, obs_fb, obs_mm)
+    mm_valid = jnp.where(use_fb, val_fb, mm_valid)
+    pw_mm = jnp.where(use_fb, m.p_xyz[jnp.maximum(obs_fb, 0)], pw_mm)
 
     # ---- 2. track local map ------------------------------------------------
     pc1 = m.p_xyz @ T1[:3, :3].T + T1[:3, 3]
@@ -476,6 +521,7 @@ def track_step(
         inlier=inlier,
         near_map=near_map | (obs >= 0),
         rescued=use_rescue,
+        ref_fallback=use_fb,
     )
     return ts2, m, info
 

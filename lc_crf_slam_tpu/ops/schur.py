@@ -168,8 +168,18 @@ def solve_ba(
     n_iters: int = 10,
     huber_delta: float = 2.7955,
     init_lambda: float = 1e-4,
+    huber_delta_mono: float | None = 2.4477,
 ) -> Tuple[jax.Array, jax.Array, BAStats]:
-    """LM loop with accept/reject. Returns (cam_Tcw', p_xyz', stats)."""
+    """LM loop with accept/reject. Returns (cam_Tcw', p_xyz', stats).
+
+    Huber delta is per-edge: `huber_delta` (sqrt(7.815)) on stereo edges,
+    `huber_delta_mono` (sqrt(5.991)) on mono edges, mirroring the
+    reference's local BA kernels; pass huber_delta_mono=None to apply one
+    scalar to all edges."""
+    if huber_delta_mono is not None:
+        huber_delta = jnp.where(
+            prob.e_ur >= 0, huber_delta, huber_delta_mono
+        )
 
     def total_cost(cam_Tcw, p_xyz):
         r, _, _, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)

@@ -34,6 +34,8 @@ def _partial_blocks(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem,
     P_ = p_xyz.shape[0]
     r, J_cam, J_pt, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
     active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
+    if isinstance(huber_delta, tuple):   # (stereo, mono) per-edge split
+        huber_delta = jnp.where(prob.e_ur >= 0, huber_delta[0], huber_delta[1])
     _, w, cost = _robust_weights(r, prob.e_w, active, huber_delta)
     J_cam = J_cam * (
         1.0 - prob.cam_fixed[prob.e_cam].astype(J_cam.dtype)
@@ -85,12 +87,16 @@ def dist_solve_ba(
     n_iters: int = 10,
     huber_delta: float = 2.7955,
     init_lambda: float = 1e-4,
+    huber_delta_mono: float | None = 2.4477,
 ) -> Tuple[jax.Array, jax.Array, BAStats]:
     """Edge-sharded LM bundle adjustment over a device mesh.
 
     Same semantics as ops.schur.solve_ba; edge arrays of `prob` must have
     length divisible by the mesh size (pad with e_valid=False).
     """
+    if huber_delta_mono is not None:
+        # per-edge Huber (stereo vs mono), resolved shard-locally from e_ur
+        huber_delta = (huber_delta, huber_delta_mono)
     e_spec = BAProblem(
         cam_Tcw=P(), cam_fixed=P(), p_xyz=P(), p_valid=P(),
         e_cam=P("edge"), e_pt=P("edge"), e_uv=P("edge"), e_ur=P("edge"),

@@ -67,10 +67,13 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from . import enable_compilation_cache
     from .config import SLAMConfig, load_yaml
     from .geometry.camera import TUM1, TUM2, TUM3
     from .models.system import SLAMSystem
     from .utils.evaluate import evaluate_ate
+
+    enable_compilation_cache()   # minutes -> seconds on warm starts
 
     cam = {"tum1": TUM1, "tum2": TUM2, "tum3": TUM3}[args.camera]
     cfg = load_yaml(args.config) if args.config else SLAMConfig()
@@ -157,6 +160,7 @@ def main(argv=None) -> int:
             gt = (ts_g, T)
 
     wall = time.perf_counter() - t_start
+    slam.flush_stats()
     if profile_cm is not None:
         profile_cm.__exit__(None, None, None)
     if args.timing:

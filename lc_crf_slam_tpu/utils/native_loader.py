@@ -29,6 +29,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.c_float, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
     ]
     lib.tum_loader_next.restype = ctypes.c_int
     lib.tum_loader_next.argtypes = [
@@ -77,8 +78,12 @@ class NativeTUMLoader:
             *[e[3].encode() for e in entries])
         ts = (ctypes.c_double * self.n)(*[e[0] for e in entries])
         self._keepalive = (rgb, dep, ts)
+        # expected dims are enforced natively: a decoded frame whose size
+        # differs from the configured camera is delivered as failed (rc 0)
+        # rather than memcpy'd past the fixed numpy buffers below
         self._h = self._lib.tum_loader_create(
-            rgb, dep, ts, self.n, depth_map_factor, n_threads, queue_cap
+            rgb, dep, ts, self.n, depth_map_factor, n_threads, queue_cap,
+            width, height,
         )
         self._closed = False
 

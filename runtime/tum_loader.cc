@@ -82,6 +82,9 @@ struct Loader {
   float depth_factor = 5000.0f;
   int n_threads = 4;
   size_t queue_cap = 8;
+  // expected decode dims; frames that do not match are delivered as
+  // failed (rc 0) instead of overflowing the caller's fixed buffers
+  int expected_width = 0, expected_height = 0;
 
   std::map<size_t, Frame> ready;      // in-order delivery buffer
   std::mutex mu;
@@ -116,6 +119,8 @@ struct Loader {
       return f;
     f.width = rgb.width;
     f.height = rgb.height;
+    if (rgb.width != expected_width || rgb.height != expected_height)
+      return f;  // dims mismatch the configured camera: fail, don't overflow
     f.gray.resize((size_t)rgb.width * rgb.height);
     if (rgb.channels >= 3 && rgb.bit_depth == 8) {
       // ITU-R BT.601 luma, matching cv::cvtColor(RGB2GRAY)
@@ -148,7 +153,8 @@ extern "C" {
 
 void* tum_loader_create(const char** rgb_paths, const char** depth_paths,
                         const double* timestamps, int n_frames,
-                        float depth_factor, int n_threads, int queue_cap) {
+                        float depth_factor, int n_threads, int queue_cap,
+                        int expected_width, int expected_height) {
   auto* L = new Loader();
   L->rgb_paths.assign(rgb_paths, rgb_paths + n_frames);
   L->depth_paths.assign(depth_paths, depth_paths + n_frames);
@@ -156,6 +162,8 @@ void* tum_loader_create(const char** rgb_paths, const char** depth_paths,
   L->depth_factor = depth_factor;
   L->n_threads = n_threads;
   L->queue_cap = (size_t)queue_cap;
+  L->expected_width = expected_width;
+  L->expected_height = expected_height;
   for (int i = 0; i < n_threads; ++i)
     L->workers.emplace_back([L] { L->worker(); });
   return L;
