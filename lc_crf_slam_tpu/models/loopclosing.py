@@ -117,6 +117,7 @@ def _kf_world_points(cam: Pinhole, m: MapState, kf: jax.Array):
 
 class LoopVerification(NamedTuple):
     T_corr: jax.Array     # (4, 4) world correction: p_true = T_corr @ p_drifted
+    s_corr: jax.Array     # () world-correction scale (1 when fix_scale)
     n_inliers: jax.Array
     accepted: jax.Array
 
@@ -125,7 +126,19 @@ def verify_loop(
     cfg: SLAMConfig, cam: Pinhole, m: MapState,
     kf_idx: jax.Array, cand: jax.Array, key: jax.Array,
 ) -> LoopVerification:
-    """ComputeSim3: feature matching + 3D-3D Horn RANSAC (fixed scale)."""
+    """ComputeSim3: feature matching + 3D-3D Horn RANSAC + OptimizeSim3.
+
+    Mirrors the reference's full ComputeSim3 ladder (SURVEY.md §4.4):
+    descriptor matches -> Sim3Solver RANSAC -> `OptimizeSim3` refinement
+    with bidirectional reprojection and chi2 pruning (models/sim3opt.py),
+    with the refined inlier count gating acceptance. For mono
+    (cfg.loop.fix_scale=False) the refined scale is the relative map
+    scale the Sim3 pose graph consumes."""
+    from ..geometry.sim3 import (
+        se3_from_sim3, sim3_compose, sim3_from_se3, sim3_inverse,
+    )
+    from .sim3opt import optimize_sim3
+
     cand_s = jnp.maximum(cand, 0)
     dist = hamming_matrix(m.kf_desc[kf_idx], m.kf_desc[cand_s])
     gate = m.kf_valid[kf_idx][:, None] & m.kf_valid[cand_s][None, :]
@@ -143,14 +156,49 @@ def verify_loop(
         inlier_tol=0.10,
         fix_scale=cfg.loop.fix_scale,
     )
-    T_corr = make_se3(res.R, res.t)
+    # --- OptimizeSim3 refinement in the two camera frames -------------------
+    # S12 maps cand-camera coords -> kf-camera coords; from the world
+    # correction: S12 = Tcw_kf o S_corr^-1 o Twc_cd.
+    def _cam_points(kf):
+        uv = m.kf_uv[kf]
+        d = m.kf_depth[kf]
+        x = (uv[:, 0] - cam.cx) / cam.fx * d
+        y = (uv[:, 1] - cam.cy) / cam.fy * d
+        return jnp.stack([x, y, d], axis=-1)
+
+    S_corr0 = (res.s, res.R, res.t)
+    Tcw_kf = m.kf_Tcw[kf_idx]
+    Twc_cd = se3_inverse(m.kf_Tcw[cand_s])
+    S12_0 = sim3_compose(
+        sim3_from_se3(Tcw_kf),
+        sim3_compose(sim3_inverse(S_corr0), sim3_from_se3(Twc_cd)),
+    )
+    pc1 = _cam_points(kf_idx)
+    pc2 = _cam_points(cand_s)[mm.idx]
+    inv_sigma2 = (
+        (1.0 / cfg.orb.scale_factor**2)
+        ** m.kf_level[kf_idx].astype(jnp.float32)
+    )
+    ref = optimize_sim3(
+        cam, S12_0, pc1, pc2,
+        m.kf_uv[kf_idx], m.kf_uv[cand_s][mm.idx],
+        pairs_ok & res.inliers, inv_sigma2,
+        fix_scale=cfg.loop.fix_scale,
+    )
+    S_corr = sim3_inverse(sim3_compose(
+        sim3_from_se3(se3_inverse(Tcw_kf)),
+        sim3_compose((ref.s, ref.R, ref.t), sim3_from_se3(m.kf_Tcw[cand_s])),
+    ))
+    T_corr = se3_from_sim3(S_corr)
     accepted = (
         (cand >= 0)
         & (n_matches >= cfg.loop.min_bow_matches)
         & (res.n_inliers >= cfg.loop.min_sim3_inliers)
+        & (ref.n_inliers >= cfg.loop.min_sim3_inliers)
     )
     return LoopVerification(
         T_corr=jnp.where(accepted, T_corr, jnp.eye(4)),
+        s_corr=jnp.where(accepted, S_corr[0], 1.0),
         n_inliers=res.n_inliers,
         accepted=accepted,
     )

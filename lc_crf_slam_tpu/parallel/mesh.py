@@ -15,6 +15,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host entry point (SURVEY.md §6.8): join the jax.distributed
+    runtime so `jax.devices()` spans every host's chips and collectives
+    ride ICI within a slice / DCN across slices.
+
+    With no arguments JAX reads the cluster env (TPU metadata /
+    JAX_COORDINATOR_ADDRESS et al.) — the normal pod path. Arguments are
+    for explicit CPU/GPU multi-process bring-up. Safe to call once per
+    process before any backend use; no-op if already initialized.
+    """
+    global _DIST_UP
+    if _DIST_UP:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    _DIST_UP = True
+
+
+_DIST_UP = False
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "edge") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

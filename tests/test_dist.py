@@ -8,7 +8,11 @@ import pytest
 from lc_crf_slam_tpu.geometry.camera import TUM3
 from lc_crf_slam_tpu.ops.schur import solve_ba
 from lc_crf_slam_tpu.parallel.mesh import make_mesh
-from lc_crf_slam_tpu.parallel.dist_ba import dist_solve_ba
+from lc_crf_slam_tpu.parallel.dist_ba import (
+    dist_solve_ba,
+    dist_solve_ba_blocks,
+    partition_point_blocks,
+)
 
 from test_schur_ba import make_problem, cam_errs
 
@@ -43,6 +47,35 @@ class TestDistBA:
         prob, *_ = make_problem(seed=2)
         f = jax.jit(lambda p: dist_solve_ba(TUM3, p, mesh, n_iters=3))
         cam_d, p_d, stats = f(prob)
+        assert np.isfinite(float(stats.cost))
+
+
+class TestDistBABlocks:
+    """Point-block (map-block) sharded global BA — SURVEY.md §8.2-M5."""
+
+    def test_matches_single_device(self, mesh):
+        prob, cams_true, pts, nc, npts = make_problem(seed=0)
+        cam_s, p_s, _ = solve_ba(TUM3, prob, n_iters=10)
+        probb = partition_point_blocks(prob, mesh.size)
+        cam_d, p_d, _ = dist_solve_ba_blocks(TUM3, probb, mesh, n_iters=10)
+        np.testing.assert_allclose(
+            np.asarray(cam_d)[:nc, :3, 3], np.asarray(cam_s)[:nc, :3, 3],
+            atol=1e-4,
+        )
+        # point state is sharded+padded; compare the valid prefix
+        valid = np.asarray(prob.p_valid)
+        P_ = valid.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(p_d)[:P_][valid], np.asarray(p_s)[valid], atol=1e-3
+        )
+
+    def test_recovers_gt(self, mesh):
+        prob, cams_true, pts, nc, npts = make_problem(seed=1, pix_noise=0.3)
+        probb = partition_point_blocks(prob, mesh.size)
+        cam_d, p_d, stats = dist_solve_ba_blocks(
+            TUM3, probb, mesh, n_iters=12)
+        ce = cam_errs(cam_d, cams_true, nc)
+        assert ce.max() < 0.01, ce
         assert np.isfinite(float(stats.cost))
 
 

@@ -85,6 +85,193 @@ class TestPoseGraph:
         assert np.abs(r).max() < 1e-5
 
 
+class TestSim3PoseGraph:
+    """Mono scale-drift loop closing (reference OptimizeEssentialGraph
+    over Sim3 vertices, SURVEY.md §3.1 Optimizer.cc)."""
+
+    def _drifted_mono_loop(self, n=24, d=1.02):
+        """GT loop + mono odometry whose translation scale drifts by
+        factor d per step (the mono failure mode: map scale slides)."""
+        gt, _ = _chain_with_drift(n, drift=0.0)  # clean GT chain (cw)
+        est = [gt[0]]
+        for i in range(1, n):
+            rel = gt[i] @ np.linalg.inv(gt[i - 1])
+            rel_d = rel.copy()
+            rel_d[:3, 3] *= d ** i
+            est.append(rel_d @ est[-1])
+        return gt, np.stack(est)
+
+    def test_scale_drift_corrected(self):
+        from lc_crf_slam_tpu.geometry.sim3 import se3_from_sim3
+        from lc_crf_slam_tpu.models.posegraph import (
+            Sim3Graph, optimize_pose_graph_sim3, sim3_edge_residuals,
+        )
+
+        n, d = 24, 1.02
+        gt, est = self._drifted_mono_loop(n, d)
+        F = 32
+        s0 = np.ones(F, np.float32)
+        R0 = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+        t0 = np.zeros((F, 3), np.float32)
+        R0[:n] = est[:, :3, :3]
+        t0[:n] = est[:, :3, 3]
+        # chain edges measured from drifted odometry (scale 1)
+        e_i = np.arange(1, n, dtype=np.int32)
+        e_j = e_i - 1
+        rel = np.stack(
+            [est[i] @ np.linalg.inv(est[i - 1]) for i in range(1, n)]
+        )
+        # loop edge n-1 -> 0: the Sim3 solver measures the current KF's
+        # TRUE pose w.r.t. the loop map, with relative scale D = total
+        # accumulated drift: S_corr(n-1) = (D, R_gt, D * t_gt)
+        D = np.float32(d ** (n - 1))  # scale of the last segment's map
+        S_corr = (D, gt[n - 1][:3, :3], D * gt[n - 1][:3, 3])
+        S0 = (np.float32(1.0), gt[0][:3, :3], gt[0][:3, 3])
+        # rel = S_corr o S0^-1
+        R_rel = S_corr[1] @ S0[1].T
+        t_rel = S_corr[2] - S_corr[0] * (R_rel @ S0[2])
+        e_i = np.concatenate([e_i, [n - 1]]).astype(np.int32)
+        e_j = np.concatenate([e_j, [0]]).astype(np.int32)
+        e_s = np.concatenate([np.ones(n - 1), [S_corr[0]]]).astype(np.float32)
+        e_R = np.concatenate([rel[:, :3, :3], R_rel[None]]).astype(np.float32)
+        e_t = np.concatenate([rel[:, :3, 3], t_rel[None]]).astype(np.float32)
+        E = e_i.shape[0]
+        g = Sim3Graph(
+            s=jnp.asarray(s0),
+            R=jnp.asarray(R0), t=jnp.asarray(t0),
+            node_valid=jnp.asarray(np.arange(F) < n),
+            node_fixed=jnp.asarray(np.arange(F) == 0),
+            e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+            e_s=jnp.asarray(e_s), e_R=jnp.asarray(e_R),
+            e_t=jnp.asarray(e_t),
+            e_w=jnp.asarray(
+                np.concatenate([np.ones(n - 1), [5.0]]).astype(np.float32)),
+            e_valid=jnp.ones(E, bool),
+        )
+
+        def centers(s, R, t):
+            return -np.einsum("fji,fj->fi", R, t) / s[:, None]
+
+        c_gt = centers(np.ones(n), gt[:, :3, :3], gt[:, :3, 3])
+        c_before = centers(s0[:n], R0[:n], t0[:n])
+        s_opt, R_opt, t_opt = optimize_pose_graph_sim3(
+            g, n_iters=25, fix_scale=False)
+        s_opt, R_opt, t_opt = map(np.asarray, (s_opt, R_opt, t_opt))
+        c_after = centers(s_opt[:n], R_opt[:n], t_opt[:n])
+        err_b = np.linalg.norm(c_before - c_gt, axis=-1).mean()
+        err_a = np.linalg.norm(c_after - c_gt, axis=-1).mean()
+        assert err_a < 0.35 * err_b, (err_b, err_a)
+        # the recovered per-node scales must absorb the drift profile
+        # (monotone growth toward D at the loop end)
+        assert s_opt[n - 1] > 1.2, s_opt[:n]
+        # SE3 export stays valid
+        T = np.asarray(se3_from_sim3(
+            (jnp.asarray(s_opt), jnp.asarray(R_opt), jnp.asarray(t_opt))))
+        assert np.isfinite(T).all()
+
+    def test_fix_scale_keeps_unit_scale(self):
+        from lc_crf_slam_tpu.models.posegraph import (
+            Sim3Graph, optimize_pose_graph_sim3,
+        )
+
+        n = 12
+        gt, est = self._drifted_mono_loop(n, 1.01)
+        F = 16
+        s0 = np.ones(F, np.float32)
+        R0 = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+        t0 = np.zeros((F, 3), np.float32)
+        R0[:n] = est[:, :3, :3]
+        t0[:n] = est[:, :3, 3]
+        e_i = np.arange(1, n, dtype=np.int32)
+        e_j = e_i - 1
+        rel = np.stack(
+            [est[i] @ np.linalg.inv(est[i - 1]) for i in range(1, n)]
+        )
+        g = Sim3Graph(
+            s=jnp.asarray(s0), R=jnp.asarray(R0), t=jnp.asarray(t0),
+            node_valid=jnp.asarray(np.arange(F) < n),
+            node_fixed=jnp.asarray(np.arange(F) == 0),
+            e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+            e_s=jnp.ones(n - 1), e_R=jnp.asarray(rel[:, :3, :3]),
+            e_t=jnp.asarray(rel[:, :3, 3]),
+            e_w=jnp.ones(n - 1), e_valid=jnp.ones(n - 1, bool),
+        )
+        s_opt, _, _ = optimize_pose_graph_sim3(g, n_iters=8, fix_scale=True)
+        np.testing.assert_allclose(np.asarray(s_opt), 1.0, atol=1e-6)
+
+
+class TestOptimizeSim3:
+    """OptimizeSim3-equivalent: bidirectional-reprojection Sim3 GN."""
+
+    def _pairs(self, n=120, s_gt=1.15, noise=0.0, outliers=0, seed=0):
+        from lc_crf_slam_tpu.geometry.se3 import exp_so3
+        from lc_crf_slam_tpu.geometry.camera import TUM3
+
+        rng = np.random.default_rng(seed)
+        pc2 = np.stack([
+            rng.uniform(-1.5, 1.5, n), rng.uniform(-1.0, 1.0, n),
+            rng.uniform(2.0, 6.0, n),
+        ], -1).astype(np.float32)
+        R_gt = np.asarray(exp_so3(jnp.asarray([0.03, -0.05, 0.02])))
+        t_gt = np.array([0.2, -0.1, 0.15], np.float32)
+        pc1 = s_gt * pc2 @ R_gt.T + t_gt
+        cam = TUM3
+
+        def proj(pc):
+            return np.stack([
+                cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
+                cam.fy * pc[:, 1] / pc[:, 2] + cam.cy,
+            ], -1)
+
+        uv1 = proj(pc1) + rng.normal(0, noise, (n, 2))
+        uv2 = proj(pc2) + rng.normal(0, noise, (n, 2))
+        if outliers:
+            uv1[:outliers] += rng.uniform(30, 80, (outliers, 2))
+        return (np.float32(s_gt), R_gt.astype(np.float32), t_gt), \
+            pc1.astype(np.float32), pc2, uv1.astype(np.float32), \
+            uv2.astype(np.float32)
+
+    def test_recovers_scale_and_pose(self):
+        from lc_crf_slam_tpu.geometry.camera import TUM3
+        from lc_crf_slam_tpu.models.sim3opt import optimize_sim3
+
+        (s_gt, R_gt, t_gt), pc1, pc2, uv1, uv2 = self._pairs(
+            noise=0.3, outliers=24)
+        n = pc1.shape[0]
+        # perturbed init (as a Horn RANSAC would hand over)
+        init = (jnp.asarray(s_gt * 1.06),
+                jnp.asarray(R_gt), jnp.asarray(t_gt + 0.05))
+        r = optimize_sim3(
+            TUM3, init, jnp.asarray(pc1), jnp.asarray(pc2),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.ones(n, bool), jnp.ones(n, np.float32),
+            fix_scale=False,
+        )
+        assert abs(float(r.s) - s_gt) < 0.01, float(r.s)
+        np.testing.assert_allclose(np.asarray(r.R), R_gt, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(r.t), t_gt, atol=2e-2)
+        # outliers pruned, inliers kept
+        assert int(r.n_inliers) >= n - 24 - 5
+        assert not bool(np.asarray(r.inliers)[:24].any())
+
+    def test_fix_scale(self):
+        from lc_crf_slam_tpu.geometry.camera import TUM3
+        from lc_crf_slam_tpu.models.sim3opt import optimize_sim3
+
+        (s_gt, R_gt, t_gt), pc1, pc2, uv1, uv2 = self._pairs(s_gt=1.0)
+        n = pc1.shape[0]
+        init = (jnp.asarray(1.0), jnp.asarray(R_gt),
+                jnp.asarray(t_gt + 0.03))
+        r = optimize_sim3(
+            TUM3, init, jnp.asarray(pc1), jnp.asarray(pc2),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.ones(n, bool), jnp.ones(n, np.float32),
+            fix_scale=True,
+        )
+        assert float(r.s) == 1.0
+        np.testing.assert_allclose(np.asarray(r.t), t_gt, atol=1e-3)
+
+
 class TestHornRansac:
     def test_recovers_rigid_with_outliers(self):
         n = 100
