@@ -81,11 +81,42 @@ def main():
 
     fps = N_FRAMES / best
     mean_inl = float(jnp.mean(inl))
+
+    # ---- full pipeline on a DYNAMIC world (honest headline) ----------------
+    # CRF labeling, LK flow evidence hooks, keyframe mapping and loop
+    # detection all inside the timed region, on the billboard scenario
+    # (a rigid mover at the walking-person feature share). Measured via
+    # the production throughput API (chunked lax.scan + mapping/CRF
+    # between chunks).
+    from lc_crf_slam_tpu.models.system import SLAMSystem
+
+    dyn_world = SyntheticWorld(
+        cam=cam, n_frames=60, n_static=1400, n_dynamic=0, seed=7,
+        trajectory="line", billboard=True, bb_speed=0.04,
+    )
+    dframes = [dyn_world.frame(k, render=True) for k in range(N_FRAMES + 1)]
+    dgrays = np.stack([f.image for f in dframes]).astype(np.float32)
+    ddepths = np.stack([f.depth_image for f in dframes]).astype(np.float32)
+    dts = np.arange(N_FRAMES + 1, dtype=np.float64) / 30.0
+
+    def full_run():
+        slam = SLAMSystem(cam, cfg, enable_crf=True, enable_mapping=True)
+        t0 = time.perf_counter()
+        poses = slam.track_sequence(dgrays, ddepths, dts)
+        _ = np.asarray(poses[-1])
+        return time.perf_counter() - t0
+
+    full_run()                      # compile/warm every program shape
+    best_full = min(full_run() for _ in range(2))
+    full_fps = N_FRAMES / best_full
+
     result = {
         "metric": "tracking_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "full_pipeline_fps": round(full_fps, 2),
+        "full_pipeline_vs_baseline": round(full_fps / BASELINE_FPS, 3),
     }
     print(json.dumps(result))
     # diagnostics to stderr-ish (driver reads the one stdout JSON line)
@@ -93,7 +124,8 @@ def main():
 
     print(
         f"# compile={compile_s:.1f}s run={best*1e3:.1f}ms/{N_FRAMES}f "
-        f"mean_inliers={mean_inl:.0f} device={jax.devices()[0].platform}",
+        f"full={best_full*1e3:.1f}ms mean_inliers={mean_inl:.0f} "
+        f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
