@@ -82,12 +82,18 @@ def main() -> None:
         "global_ba": lambda: slam._global_ba(cfg, cam, m, 2),
     }
 
+    def fence(res):
+        # block_until_ready does NOT block on the axon remote backend —
+        # fence with a concrete (tiny) host fetch of one result leaf
+        leaf = jax.tree.leaves(res)[0]
+        return np.asarray(jnp.ravel(leaf)[0])
+
     out = {}
     for name, fn in stages.items():
-        jax.block_until_ready(fn())          # compile + warm
+        fence(fn())                          # compile + warm
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            jax.block_until_ready(fn())
+            fence(fn())
         out[name] = (time.perf_counter() - t0) / args.reps * 1e3
 
     dev = jax.devices()[0].platform

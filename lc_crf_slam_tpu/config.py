@@ -108,6 +108,12 @@ class MappingConfig:
     fuse_neighbors: int = 10
     covisibility_min_weight: int = 15  # covisibility edge threshold
     max_new_points_per_kf: int = 512
+    # grid-stratified spawn: cap new map points per image cell so one
+    # CLOSE structure (a walking person filling the frame center) cannot
+    # monopolize the depth-sorted creation budget and outvote the static
+    # world in the next pose solve. 0 disables the cap.
+    spawn_cell_px: int = 80
+    spawn_cell_quota: int = 16
 
 
 @dataclass(frozen=True)
@@ -142,6 +148,23 @@ class CRFConfig:
     # consumption
     dynamic_threshold: float = 0.5  # P(dynamic) above this excludes point
     history_decay: float = 0.8      # EMA decay for long-term evidence
+    # spawn gating: keypoints whose measured LK flow departs from the
+    # rigid egomotion prediction by more than this (px) are dynamic
+    # candidates and never become map points — stops a large coherent
+    # mover from re-polluting the map at every keyframe. 0 disables.
+    spawn_flow_gate: float = 2.5
+    # solve gating: points whose flow-inconsistency EMA (p_flow_err)
+    # exceeds this (px) are excluded from the pose-solve edge set. A
+    # large coherent mover is geometrically indistinguishable from the
+    # static world within any single frame (both are rigid); the flow
+    # EMA carries the discrimination made while poses were still honest
+    # across the frames where the mover would otherwise capture the
+    # solve. 0 disables. Only active on the image pipeline (the EMA
+    # stays 0 without images).
+    solve_flow_gate: float = 2.5
+    flow_decay: float = 0.5         # EMA decay for the (short-term) flow
+                                    # cue; faster than history_decay so
+                                    # the solve gate reacts in ~2 frames
 
 
 @dataclass(frozen=True)

@@ -154,8 +154,25 @@ def pose_optimize(
     )
 
 
-def _tight_score(cam, Tcw, pw, obs_uv, inv_sigma2, valid, tight_chi2):
-    """Count of points within a TIGHT reprojection window under Tcw."""
+_COVERAGE_CELL_PX = 40  # image-grid cell for the dispersion score
+
+
+def _tight_score(cam, Tcw, pw, obs_uv, inv_sigma2, valid, tight_chi2,
+                 trust=None):
+    """Spatial-coverage consensus score of a pose hypothesis.
+
+    Primary term: the number of image-grid cells (40 px) containing at
+    least one tight-window inlier. A coherent mover is spatially COMPACT
+    (the same assumption the CRF's Potts pairwise term encodes, SURVEY.md
+    §4.5) while the static world surrounds it, so even when the mover
+    supplies the majority of matches — e.g. a close walking person
+    filling the depth-sorted keyframe spawn budget — its basin lights up
+    only its own silhouette's cells, while the true pose's inliers cover
+    the frame. Raw (even trust-weighted) counts fail exactly there: at
+    bootstrap every track is young, trust is uniform, and a 2/3-majority
+    mover outvotes the dispersed statics. Secondary term: a small
+    trust-weighted inlier mass to break coverage ties.
+    """
     pc = pw @ Tcw[:3, :3].T + Tcw[:3, 3]
     z = jnp.maximum(pc[..., 2], 1e-6)
     u = cam.fx * pc[..., 0] / z + cam.cx
@@ -164,7 +181,16 @@ def _tight_score(cam, Tcw, pw, obs_uv, inv_sigma2, valid, tight_chi2):
         jnp.square(u - obs_uv[..., 0]) + jnp.square(v - obs_uv[..., 1])
     ) * inv_sigma2
     ok = (chi2 < tight_chi2) & valid & (pc[..., 2] > 0.05)
-    return jnp.sum(ok.astype(jnp.int32), axis=-1)
+    w = ok.astype(jnp.float32) if trust is None else ok * trust
+    nx = -(-cam.width // _COVERAGE_CELL_PX)
+    ny = -(-cam.height // _COVERAGE_CELL_PX)
+    cu = jnp.clip(obs_uv[..., 0] // _COVERAGE_CELL_PX, 0, nx - 1)
+    cv = jnp.clip(obs_uv[..., 1] // _COVERAGE_CELL_PX, 0, ny - 1)
+    cell = (cv * nx + cu).astype(jnp.int32)
+    hit = jnp.zeros((nx * ny,), jnp.float32).at[cell].max(
+        ok.astype(jnp.float32))
+    coverage = jnp.sum(hit)
+    return coverage + 0.01 * jnp.sum(w, axis=-1)
 
 
 def pose_consensus(
@@ -181,6 +207,7 @@ def pose_consensus(
     tight_chi2: float = 4.0,
     scale_factor: float = 1.2,
     audit_points: int = 256,
+    trust: jax.Array | None = None,  # (N,) per-point anchor trust
 ):
     """Capture-resistance audit of a motion-only solve.
 
@@ -202,8 +229,18 @@ def pose_consensus(
     N = pw.shape[0]
     inv_sigma2 = (1.0 / scale_factor**2) ** level.astype(jnp.float32)
     k_sample, k_audit = jax.random.split(key)
-    p = valid3d.astype(jnp.float32)
-    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    # Anchor trust: when a coherent mover supplies the MAJORITY of
+    # matches (a large rigid surface re-spawning fresh points every
+    # keyframe), raw inlier counts prefer its basin and the audit itself
+    # is captured. Long-lived consistently-found tracks are the reliable
+    # anchors (the paper's long-term-consistency thesis applied to the
+    # solver): trust weights both the hypothesis sampling and the
+    # tight-window scores, so a minority of mature statics outvotes a
+    # majority of young dynamics.
+    if trust is None:
+        trust = jnp.ones((N,), jnp.float32)
+    p = valid3d.astype(jnp.float32) * trust
+    p = p / jnp.maximum(jnp.sum(p), 1e-6)
     idx = jax.random.choice(k_sample, N, shape=(n_hypotheses, 3), p=p)
     _, R_h, t_h = umeyama_alignment(pw[idx], pc_cam[idx], with_scale=False)
     # audit on a random SUBSAMPLE of the associations: polishing/scoring
@@ -218,6 +255,7 @@ def pose_consensus(
     _, sub = jax.lax.top_k(rnd, n_audit)
     pw_s, uv_s = pw[sub], obs_uv[sub]
     inv_s, vs_s = inv_sigma2[sub], valid_score[sub]
+    tr_s = trust[sub]
     T_h = (
         jnp.zeros((n_hypotheses, 4, 4), pw.dtype)
         .at[:, :3, :3].set(R_h)
@@ -240,25 +278,33 @@ def pose_consensus(
             )
             chi2 = jnp.sum(r * r, axis=-1) * inv_s
             w = jnp.where(
-                vs_s & z_ok & (chi2 < gate_chi2), inv_s, 0.0
+                vs_s & z_ok & (chi2 < gate_chi2), inv_s * tr_s, 0.0
             )
             H = jnp.einsum("nij,n,nik->jk", J, w, J)
             g = jnp.einsum("nij,n,ni->j", J, w, r)
             dx = -jnp.linalg.solve(H + 1e-6 * jnp.eye(6), g)
             return exp_se3(dx) @ T, None
 
-        T, _ = jax.lax.scan(sweep, T, jnp.asarray([25.0, 9.0, tight_chi2]))
+        # Gate schedule starts at 9 (3px at level 0), NOT looser: a slow
+        # coherent mover sits ~3-8px off a static-seeded hypothesis, and
+        # a first sweep that admits it drags EVERY hypothesis into the
+        # same compromise basin as the LM solve before scoring can
+        # separate them (observed on the rendered billboard scenario).
+        # Depth-unprojected Horn seeds are accurate enough for a 3px
+        # first gate; hypothesis diversity covers the noisy-depth case.
+        T, _ = jax.lax.scan(
+            sweep, T, jnp.asarray([9.0, 4.0, tight_chi2]))
         return T
 
     T_h = jax.vmap(polish)(T_h)
     scores = jax.vmap(
         lambda T: _tight_score(
-            cam, T, pw_s, uv_s, inv_s, vs_s, tight_chi2
+            cam, T, pw_s, uv_s, inv_s, vs_s, tight_chi2, tr_s
         )
     )(T_h)
     best = jnp.argmax(scores)
     score_lm = _tight_score(
-        cam, T_lm, pw_s, uv_s, inv_s, vs_s, tight_chi2
+        cam, T_lm, pw_s, uv_s, inv_s, vs_s, tight_chi2, tr_s
     )
     # inlier set of the winning hypothesis under a slightly relaxed
     # window: the caller re-polishes RESTRICTED to this set — running the

@@ -268,20 +268,11 @@ def correct_loop(
     return m._replace(kf_Tcw=Tcw_new, p_xyz=p_new)
 
 
-def global_ba_alternating(
-    cfg: SLAMConfig, cam: Pinhole, m: MapState, n_rounds: int = 6
-) -> MapState:
-    """RunGlobalBundleAdjustment equivalent: block-coordinate GN.
-
-    Cameras and points alternate; each half-step is a batched
-    block-diagonal Newton step assembled with segment-sums over ALL
-    observations — O(F*K) work and memory, no camera-point coupling
-    tensor, so it scales to the full map.
-    """
-    from ..ops.schur import _edge_residuals, _robust_weights, BAProblem
+def _map_ba_problem(cfg: SLAMConfig, m: MapState):
+    """Full-map BAProblem from the observation tables (KF0 fixed)."""
+    from ..ops.schur import BAProblem
 
     F, K = m.kf_obs.shape
-    P = m.capacity_points
     e_cam = jnp.repeat(jnp.arange(F, dtype=jnp.int32), K)
     e_pt_raw = m.kf_obs.reshape(-1)
     e_valid = (
@@ -292,7 +283,7 @@ def global_ba_alternating(
         (1.0 / cfg.orb.scale_factor**2)
         ** m.kf_level.astype(jnp.float32)
     ).reshape(-1)
-    prob = BAProblem(
+    return BAProblem(
         cam_Tcw=m.kf_Tcw,
         cam_fixed=jnp.arange(F) == 0,
         p_xyz=m.p_xyz,
@@ -304,6 +295,40 @@ def global_ba_alternating(
         e_w=inv_sigma2,
         e_valid=e_valid,
     )
+
+
+def global_ba(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, n_iters: int = 8
+) -> MapState:
+    """RunGlobalBundleAdjustment: JOINT Schur LM over the whole map.
+
+    Uses the matrix-free Schur-CG solver (ops/schur.py solve_ba_cg) —
+    the reduced camera system is solved by preconditioned CG whose
+    matvec streams over the observation table, so the full 320-KF /
+    32k-point map optimizes jointly without the dense coupling tensor
+    (the r1 alternating block-coordinate fallback remains below for
+    comparison)."""
+    from ..ops.schur import solve_ba_cg
+
+    prob = _map_ba_problem(cfg, m)
+    cam_Tcw, p_xyz, _ = solve_ba_cg(
+        cam, prob, n_iters=n_iters,
+        huber_delta=cfg.local_ba.huber_delta,
+    )
+    return m._replace(kf_Tcw=cam_Tcw, p_xyz=p_xyz)
+
+
+def global_ba_alternating(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, n_rounds: int = 6
+) -> MapState:
+    """Block-coordinate GN fallback: cameras and points alternate;
+    each half-step is a batched block-diagonal Newton step — same fixed
+    point as joint BA when it converges, cheaper per round."""
+    from ..ops.schur import _edge_residuals, _robust_weights
+
+    F, K = m.kf_obs.shape
+    P = m.capacity_points
+    prob = _map_ba_problem(cfg, m)
     huber = cfg.local_ba.huber_delta
 
     def round_step(_, carry):

@@ -29,7 +29,7 @@ from .crf import crf_step
 from .loopclosing import (
     correct_loop,
     detect_loop,
-    global_ba_alternating,
+    global_ba,
     relocalize,
     verify_loop,
 )
@@ -80,7 +80,7 @@ class SLAMSystem:
         self._verify_loop = jax.jit(verify_loop, static_argnums=(0, 1))
         self._correct_loop = jax.jit(correct_loop, static_argnums=(0, 1))
         self._global_ba = jax.jit(
-            global_ba_alternating, static_argnums=(0, 1, 3)
+            global_ba, static_argnums=(0, 1, 3)
         )
         self._relocalize = jax.jit(relocalize, static_argnums=(0, 1))
         self.enable_loop = self.cfg.loop.enabled
@@ -112,7 +112,7 @@ class SLAMSystem:
             ferr = jnp.linalg.norm(res.uv_next - uv_pred, axis=-1)
             ok = use & res.ok & (pc[:, 2] > 0.05)
             tgt = jnp.where(ok, last_obs, m.capacity_points)
-            decay = cfg.crf.history_decay
+            decay = cfg.crf.flow_decay
             old = m.p_flow_err[jnp.maximum(last_obs, 0)]
             new = decay * old + (1 - decay) * jnp.minimum(ferr, 50.0)
             return m._replace(
@@ -120,6 +120,35 @@ class SLAMSystem:
             )
 
         self._flow_evidence = jax.jit(_flow_evidence, static_argnums=(0, 1))
+
+        def _spawn_flow_dyn(cfg, cam, gray_cur, gray_prev, uv, depth,
+                            valid, Tcw_cur, Tcw_prev):
+            """[CRF] spawn gate: LK-track the CURRENT frame's keypoints
+            backward into the previous image and compare with the rigid
+            prediction; keypoints on a moving surface depart by the
+            object's image motion and must not become map points
+            (otherwise a large mover re-pollutes the map every keyframe
+            and its fresh points capture the next pose solve)."""
+            from ..geometry.se3 import se3_inverse as inv
+            Twc = inv(Tcw_cur)
+            x = (uv[:, 0] - cam.cx) / cam.fx * depth
+            y = (uv[:, 1] - cam.cy) / cam.fy * depth
+            pc = jnp.stack([x, y, depth], axis=-1)
+            pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
+            pprev = pw @ Tcw_prev[:3, :3].T + Tcw_prev[:3, 3]
+            z = jnp.maximum(pprev[:, 2], 1e-6)
+            uv_pred = jnp.stack(
+                [cam.fx * pprev[:, 0] / z + cam.cx,
+                 cam.fy * pprev[:, 1] / z + cam.cy], axis=-1,
+            )
+            use = valid & (depth > 0)
+            res = lk_track(gray_cur, gray_prev, uv, use)
+            mism = jnp.linalg.norm(res.uv_next - uv_pred, axis=-1)
+            return (use & res.ok & (pprev[:, 2] > 0.05)
+                    & (mism > cfg.crf.spawn_flow_gate))
+
+        self._spawn_flow_dyn = jax.jit(_spawn_flow_dyn, static_argnums=(0, 1))
+        self._last_Tcw = None
 
     # ------------------------------------------------------------------ api
     def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
@@ -273,11 +302,15 @@ class SLAMSystem:
             n -= 1
 
         if getattr(self, "_scan_chunk_fn", None) is None or \
-                self._scan_chunk_len != chunk:
+                self._scan_chunk_len != chunk or \
+                getattr(self, "_scan_chunk_caps", None) != (
+                    self.enable_mapping, self.enable_crf):
             cfg, cam = self.cfg, self.cam
+            with_mapping = self.enable_mapping
+            with_crf = self.enable_crf
 
             @jax.jit
-            def run_chunk(m, ts, grays, depths, valid, stop_on_kf):
+            def run_chunk(m, ts, grays, depths, valid, tstamps, stop_on_kf):
                 def step(carry, inp):
                     m, ts, stop = carry
                     gray, depth, v = inp
@@ -294,10 +327,39 @@ class SLAMSystem:
                     step, (m, ts, jnp.asarray(False)),
                     (grays, depths, valid),
                 )
-                return m, ts, outs
+                Tcw_seq, kf_flags, obs_seq, near_seq, fr_seq, use_seq = outs
+                # keyframe insertion + mapping + CRF run INSIDE the chunk
+                # program: on a remote/tunneled TPU every extra dispatch
+                # and fetch is a full round trip, and they made the
+                # throughput API latency-bound (the reference's mapping
+                # thread analog, fused into the same device program)
+                k = jnp.maximum(
+                    jnp.sum(use_seq.astype(jnp.int32)) - 1, 0)
+                any_kf = jnp.any(kf_flags)
+
+                def do_insert(m, ts):
+                    frame_k = jax.tree.map(lambda x: x[k], fr_seq)
+                    m2, ts2 = insert_keyframe(
+                        cfg, cam, m, ts, frame_k, obs_seq[k], tstamps[k],
+                        near_seq[k],
+                    )
+                    if with_mapping:
+                        m2 = mapping_step(cfg, cam, m2, ts2.ref_kf)
+                    return m2, ts2
+
+                m, ts = jax.lax.cond(
+                    any_kf, do_insert, lambda m, ts: (m, ts), m, ts)
+                if with_crf:
+                    m, _ = crf_step(cfg, m, ts.frame_idx)
+                # camera-to-world poses computed ON DEVICE so the host
+                # needs no per-frame se3_inverse dispatch+fetch
+                Twc_seq = jax.vmap(se3_inverse)(Tcw_seq)
+                return m, ts, (Tcw_seq, Twc_seq, kf_flags, use_seq,
+                               any_kf, ts.ref_kf)
 
             self._scan_chunk_fn = run_chunk
             self._scan_chunk_len = chunk
+            self._scan_chunk_caps = (with_mapping, with_crf)
 
         loc_only = getattr(self, "_localization_only", False)
         stop_on_kf = jnp.asarray(not loc_only)
@@ -309,43 +371,30 @@ class SLAMSystem:
             d = depths[i:j]
             valid = np.zeros((chunk,), bool)
             valid[: j - i] = True
+            tst = np.zeros((chunk,), np.float32)
+            tst[: j - i] = timestamps[i:j]
             if j - i < chunk:   # pad the tail chunk to keep shapes static
                 pad = chunk - (j - i)
                 g = jnp.concatenate([g, jnp.repeat(g[-1:], pad, 0)])
                 d = jnp.concatenate([d, jnp.repeat(d[-1:], pad, 0)])
             m2, ts2, outs = self._scan_chunk_fn(
-                self.map, self.ts, g, d, jnp.asarray(valid), stop_on_kf)
-            Tcw_seq, kf_flags, obs_seq, near_seq, fr_seq, use_seq = outs
-            use = np.asarray(use_seq)
-            take = int(use.sum())          # frames actually committed
-            flags = np.asarray(kf_flags)
+                self.map, self.ts, g, d, jnp.asarray(valid),
+                jnp.asarray(tst), stop_on_kf)
             self.map, self.ts = m2, ts2
-            poses.append(np.asarray(Tcw_seq)[:take])
+            # ONE packed device->host transfer per chunk
+            Tcw_np, Twc_np, flags, use, had_kf, ref_kf = jax.device_get(
+                outs)
+            take = int(use.sum())          # frames actually committed
+            poses.append(Tcw_np[:take])
             for k in range(take):
                 self.trajectory.append(
-                    (float(timestamps[i + k]), np.asarray(
-                        se3_inverse(Tcw_seq[k])))
+                    (float(timestamps[i + k]), Twc_np[k])
                 )
-            if flags.any():
-                # by construction the KF frame is the last committed step,
-                # and self.ts/self.map are exactly its post-track state
-                k = take - 1
-                frame_k = jax.tree.map(lambda x: x[k], fr_seq)
-                self.map, self.ts = self._insert_kf(
-                    self.cfg, self.cam, self.map, self.ts, frame_k,
-                    obs_seq[k], jnp.asarray(float(timestamps[i + k])),
-                    near_seq[k],
-                )
+            if bool(had_kf):
                 self.kf_log.append(
-                    (float(timestamps[i + k]), int(self.ts.ref_kf)))
-                if self.enable_mapping:
-                    self.map = self._mapping(
-                        self.cfg, self.cam, self.map, self.ts.ref_kf)
+                    (float(timestamps[i + take - 1]), int(ref_kf)))
                 if self.enable_loop:
                     self._try_close_loop()
-            if self.enable_crf:
-                self.map, _ = self._crf(
-                    self.cfg, self.map, self.ts.frame_idx)
             i += take
         return np.concatenate(poses)
 
@@ -407,17 +456,30 @@ class SLAMSystem:
                     status = 1
                     need_kf = False
             if need_kf:
+                flow_dyn = None
+                if (
+                    self.enable_crf and gray is not None
+                    and prev_gray is not None
+                    and self._last_Tcw is not None
+                    and self.cfg.crf.spawn_flow_gate > 0
+                ):
+                    flow_dyn = self._spawn_flow_dyn(
+                        self.cfg, self.cam, gray, prev_gray,
+                        frame.uv, frame.depth, frame.valid,
+                        self.ts.Tcw, self._last_Tcw,
+                    )
                 with self.timer.stage("insert_kf"):
                     self.map, self.ts = self._insert_kf(
                         self.cfg, self.cam, self.map, self.ts, frame,
                         info.obs, jnp.asarray(timestamp), info.near_map,
+                        flow_dyn,
                     )
                 if self.enable_mapping and self._mapping is not None:
                     with self.timer.stage("mapping"):
                         self.map = self._mapping(
                             self.cfg, self.cam, self.map, self.ts.ref_kf
                         )
-                self.kf_log.append((timestamp, int(self.ts.ref_kf)))
+                self.kf_log.append((timestamp, self.ts.ref_kf))
                 self._warn_if_at_capacity()
                 if self.enable_loop:
                     self._try_close_loop()
@@ -447,9 +509,14 @@ class SLAMSystem:
             info_host = {"need_kf": need_kf, "status": status}
 
         self._last_gray = gray
-        Tcw = np.asarray(self.ts.Tcw)
-        Twc = np.asarray(se3_inverse(jnp.asarray(Tcw)))
-        self.trajectory.append((timestamp, Twc))
+        self._last_Tcw = self.ts.Tcw
+        # keep the pose ON DEVICE: the trajectory entry resolves lazily at
+        # get_trajectory/flush time, so returning from a frame never
+        # fences the flow/CRF/mapping programs dispatched above — they
+        # overlap the host's next-frame preparation (SURVEY.md §3.4's
+        # pipeline parallelism as dispatch overlap)
+        Tcw = self.ts.Tcw
+        self.trajectory.append((timestamp, se3_inverse(Tcw)))
         rec = {
             "t": timestamp,
             "ms": (time.perf_counter() - t0) * 1e3,
@@ -464,6 +531,11 @@ class SLAMSystem:
         """Resolve deferred device stats into the records and write any
         pending JSONL lines. Called at shutdown / before reading stats —
         per-frame tracking never blocks on observability scalars."""
+        if any(hasattr(k, "dtype") for _, k in self.kf_log):
+            resolved = jax.device_get([k for _, k in self.kf_log])
+            self.kf_log = [
+                (t, int(k)) for (t, _), k in zip(self.kf_log, resolved)
+            ]
         pending = [r for r in self.stats if "_dev" in r]
         if pending:
             vals = np.asarray(jnp.stack([r.pop("_dev") for r in pending]))
@@ -510,15 +582,17 @@ class SLAMSystem:
         qualifies once its covisibility group has intersected a group
         from the previous detections enough times — mvConsistentGroups),
         then verifies candidates geometrically in score order."""
-        kf = int(self.ts.ref_kf)
+        # dispatch detection first, then ONE packed device->host fetch —
+        # separate scalar fetches are full round trips on a tunneled TPU
+        lc = self._detect_loop(self.cfg, self.map, self.ts.ref_kf)
+        kf, valid, cands, groups = map(np.asarray, jax.device_get(
+            (self.ts.ref_kf, lc.valid, lc.cands, lc.groups)))
+        kf = int(kf)
         if kf - self._last_loop_kf < self.cfg.loop.min_kfs_since_last:
             return
-        lc = self._detect_loop(self.cfg, self.map, self.ts.ref_kf)
-        if not bool(lc.valid):
+        if not bool(valid):
             self._consistent_groups = []
             return
-        cands = np.asarray(lc.cands)
-        groups = np.asarray(lc.groups)
         prev = self._consistent_groups
         new_groups: list = []
         ready: list = []
@@ -599,6 +673,8 @@ class SLAMSystem:
         self.trajectory.clear()
         self.kf_log.clear()
         self._capacity_warned = False
+        self._last_gray = None
+        self._last_Tcw = None
 
     def shutdown(self) -> None:
         self.flush_stats()

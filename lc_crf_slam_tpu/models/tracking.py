@@ -338,6 +338,12 @@ def track_step(
     assoc = (obs >= 0) & (
         m.p_dyn[jnp.maximum(obs, 0)] < cfg.crf.dynamic_threshold
     )
+    # [CRF] flow-memory gate: exclude points whose LK-vs-egomotion EMA
+    # says they move (see CRFConfig.solve_flow_gate) — the per-frame
+    # geometry cannot tell a coherent rigid mover from the static world,
+    # but the EMA, accumulated at honest poses, can.
+    if cfg.crf.solve_flow_gate > 0:
+        assoc &= m.p_flow_err[jnp.maximum(obs, 0)] < cfg.crf.solve_flow_gate
     r2 = pose_optimize(
         cam, T1, pw_fin, frame.uv, frame.u_right, frame.level,
         assoc, cfg.pose_opt, cfg.orb.scale_factor,
@@ -362,6 +368,18 @@ def track_step(
         valid3d = assoc & (frame.depth > 0)
         n3d = jnp.sum(valid3d.astype(jnp.int32))
         ckey = jax.random.fold_in(jax.random.PRNGKey(17), ts.frame_idx)
+        # anchor trust = track longevity (found count, log-compressed)
+        # damped by the CRF's dynamic belief: a minority of mature
+        # statics must outvote a majority of freshly-respawned points on
+        # a large coherent mover (see pose_consensus docstring)
+        obs_c = jnp.maximum(obs, 0)
+        trust = jnp.where(
+            obs >= 0,
+            (1.0 + jnp.log2(1.0 + jnp.minimum(
+                m.p_found[obs_c].astype(jnp.float32), 64.0)))
+            * (1.0 - m.p_dyn[obs_c]),
+            1.0,
+        )
         T_hyp, s_hyp, s_lm, hyp_mask = pose_consensus(
             cam, r2.Tcw, pw_fin, pc_cam_q, frame.uv, frame.level,
             valid3d, assoc, ckey,
@@ -369,6 +387,7 @@ def track_step(
             tight_chi2=pcfg.consensus_chi2,
             scale_factor=cfg.orb.scale_factor,
             audit_points=pcfg.consensus_audit_points,
+            trust=trust,
         )
         use_rescue = (
             (s_hyp.astype(jnp.float32)
@@ -530,16 +549,20 @@ def insert_keyframe(
     cfg: SLAMConfig, cam: Pinhole, m: MapState, ts: TrackState, frame: Frame,
     obs: jax.Array, timestamp: jax.Array,
     near_map: jax.Array | None = None,
+    flow_dyn: jax.Array | None = None,
 ) -> Tuple[MapState, TrackState]:
     """CreateNewKeyFrame: insert KF, spawn map points from depth for
     unmatched close keypoints (capped, nearest-first like the reference's
     depth-sorted creation). `near_map` vetoes duplicates of existing
-    points."""
+    points; `flow_dyn` vetoes keypoints whose measured optical flow is
+    inconsistent with rigid egomotion (see CRFConfig.spawn_flow_gate)."""
     Twc = se3_inverse(ts.Tcw)
     close_th = _depth_threshold(cam, cfg)
     cand = frame.valid & (frame.depth > 0) & (obs < 0)
     if near_map is not None:
         cand &= ~near_map
+    if flow_dyn is not None:
+        cand &= ~flow_dyn
     # [CRF] dynamic-region veto: do not spawn points inside the spatial
     # envelope of dynamic-labeled tracks (alive or culled) — otherwise the
     # moving object is re-ingested every keyframe (SURVEY.md §4.5: labels
@@ -555,7 +578,31 @@ def insert_keyframe(
         (d2 <= cfg.crf.spatial_sigma**2) & dyn_ok[None, :], axis=1
     )
     cand &= ~near_dyn
-    # nearest-first cap
+    # grid-stratified nearest-first cap: within each image cell only the
+    # `spawn_cell_quota` nearest candidates survive, then the global
+    # nearest-first budget applies. Pure depth-sorted creation (the
+    # reference's behavior) lets one close surface — a person filling
+    # the frame — take 2/3 of the new points and capture the next pose
+    # solve; the per-cell cap bounds any compact object's map share by
+    # its image area, which is what the consensus audit and the CRF's
+    # compactness prior both assume.
+    if cfg.mapping.spawn_cell_quota > 0:
+        cs = cfg.mapping.spawn_cell_px
+        nx = -(-cam.width // cs)
+        cell = (
+            jnp.clip(frame.uv[:, 1] // cs, 0, (-(-cam.height // cs)) - 1)
+            * nx
+            + jnp.clip(frame.uv[:, 0] // cs, 0, nx - 1)
+        ).astype(jnp.int32)
+        same = cell[:, None] == cell[None, :]
+        idx = jnp.arange(frame.capacity)
+        better = (
+            (frame.depth[None, :] < frame.depth[:, None])
+            | ((frame.depth[None, :] == frame.depth[:, None])
+               & (idx[None, :] < idx[:, None]))
+        )
+        rank = jnp.sum(same & better & cand[None, :], axis=1)
+        cand &= rank < cfg.mapping.spawn_cell_quota
     score = jnp.where(cand, -frame.depth, -1e9)
     k_new = cfg.mapping.max_new_points_per_kf
     _, top_ids = jax.lax.top_k(score, k_new)

@@ -23,28 +23,28 @@ class FlowResult(NamedTuple):
     ok: jax.Array        # (K,) bool converged & in-bounds
 
 
-def _bilinear_window(img: jax.Array, center: jax.Array, offsets: jax.Array):
-    """Sample img at center + offsets (W2, 2) with bilinear interpolation.
+def _bilinear_patch(img_pad: jax.Array, pt: jax.Array, r: int, pad: int):
+    """(2r+1, 2r+1) bilinear window of the (edge-padded) image at `pt`.
 
-    Returns (W2,) values; out-of-bounds clamped.
+    ONE vmapped `lax.dynamic_slice` + elementwise 4-tap blend per window
+    instead of hundreds of random-index gathers — on TPU the flat-gather
+    formulation was ~400 ms/frame; dense dynamic-slice patches are the
+    fast path for square windows (measured on v5e; see also the BRIEF
+    sampler where the opposite holds for sparse lookups).
+    `pt` is (x, y) in ORIGINAL image coordinates; `pad >= r + 2`.
     """
-    H, W = img.shape
-    pts = center[None, :] + offsets                      # (W2, 2) as (x, y)
-    x = jnp.clip(pts[:, 0], 0.0, W - 1.001)
-    y = jnp.clip(pts[:, 1], 0.0, H - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
+    x0 = jnp.floor(pt[0]).astype(jnp.int32)
+    y0 = jnp.floor(pt[1]).astype(jnp.int32)
+    fx = pt[0] - x0.astype(pt.dtype)
+    fy = pt[1] - y0.astype(pt.dtype)
+    P = jax.lax.dynamic_slice(
+        img_pad, (y0 - r + pad, x0 - r + pad), (2 * r + 2, 2 * r + 2)
+    )
     return (
-        v00 * (1 - fy) * (1 - fx)
-        + v01 * (1 - fy) * fx
-        + v10 * fy * (1 - fx)
-        + v11 * fy * fx
+        P[:-1, :-1] * (1 - fy) * (1 - fx)
+        + P[:-1, 1:] * (1 - fy) * fx
+        + P[1:, :-1] * fy * (1 - fx)
+        + P[1:, 1:] * fy * fx
     )
 
 
@@ -55,34 +55,36 @@ def _track_level(
 ):
     """One pyramid level of LK for all keypoints."""
     r = half_win
-    ys, xs = jnp.mgrid[-r: r + 1, -r: r + 1]
-    offsets = jnp.stack(
-        [xs.reshape(-1), ys.reshape(-1)], axis=-1
-    ).astype(jnp.float32)                                # (W2, 2)
+    pad = r + 3
+    H, W = img_prev.shape
+    prev_p = jnp.pad(img_prev, pad, mode="edge")
+    next_p = jnp.pad(img_next, pad, mode="edge")
+
+    def clampxy(pt):
+        return jnp.stack([
+            jnp.clip(pt[0], 0.0, W - 1.001),
+            jnp.clip(pt[1], 0.0, H - 1.001),
+        ])
 
     def one(kp_prev, kp_guess):
-        tmpl = _bilinear_window(img_prev, kp_prev, offsets)
-        gx = (
-            _bilinear_window(img_prev, kp_prev + jnp.asarray([0.5, 0.0]), offsets)
-            - _bilinear_window(img_prev, kp_prev - jnp.asarray([0.5, 0.0]), offsets)
-        )
-        gy = (
-            _bilinear_window(img_prev, kp_prev + jnp.asarray([0.0, 0.5]), offsets)
-            - _bilinear_window(img_prev, kp_prev - jnp.asarray([0.0, 0.5]), offsets)
-        )
+        # template + central-difference gradients from ONE (r+1)-patch
+        T1 = _bilinear_patch(prev_p, clampxy(kp_prev), r + 1, pad)
+        tmpl = T1[1:-1, 1:-1]
+        gx = (T1[1:-1, 2:] - T1[1:-1, :-2]) * 0.5
+        gy = (T1[2:, 1:-1] - T1[:-2, 1:-1]) * 0.5
         G = jnp.asarray(
             [[jnp.sum(gx * gx), jnp.sum(gx * gy)],
              [jnp.sum(gx * gy), jnp.sum(gy * gy)]]
         ) + 1e-3 * jnp.eye(2)
 
         def body(_, p):
-            cur = _bilinear_window(img_next, p, offsets)
+            cur = _bilinear_patch(next_p, clampxy(p), r, pad)
             diff = cur - tmpl
             b = jnp.asarray([jnp.sum(diff * gx), jnp.sum(diff * gy)])
             return p - jnp.linalg.solve(G, b)
 
         p = jax.lax.fori_loop(0, iters, body, kp_guess)
-        final = _bilinear_window(img_next, p, offsets)
+        final = _bilinear_patch(next_p, clampxy(p), r, pad)
         err = jnp.mean(jnp.abs(final - tmpl))
         return p, err
 

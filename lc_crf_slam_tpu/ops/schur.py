@@ -213,6 +213,146 @@ def solve_ba(
     return cam_Tcw, p_xyz, stats
 
 
+def solve_ba_cg(
+    cam: Pinhole,
+    prob: BAProblem,
+    n_iters: int = 10,
+    cg_iters: int = 48,
+    huber_delta: float = 2.7955,
+    init_lambda: float = 1e-4,
+    huber_delta_mono: float | None = 2.4477,
+) -> Tuple[jax.Array, jax.Array, BAStats]:
+    """JOINT Schur-complement LM at full-map scale, matrix-free.
+
+    Replaces the reference's g2o GlobalBundleAdjustemnt (SURVEY.md §3.1)
+    for problems where `solve_ba`'s dense (P, C, 6, 3) coupling tensor
+    would not fit: the reduced camera system S = Hcc - W Hpp^-1 W^T is
+    never materialized. Each CG matvec streams over the edge table —
+    gather camera block, project through the edge's 6x3 coupling block
+    into its point, apply the damped 3x3 point-inverse, scatter back —
+    O(E) memory and MXU-batched 6x3 GEMMs. The block-Jacobi
+    preconditioner (exact diagonal 6x6 blocks of S) is also assembled
+    edge-wise. Same LM accept/reject and per-edge Huber as solve_ba.
+    """
+    if huber_delta_mono is not None:
+        huber_delta = jnp.where(prob.e_ur >= 0, huber_delta, huber_delta_mono)
+    C = prob.cam_Tcw.shape[0]
+    P = prob.p_xyz.shape[0]
+    e_cam, e_pt = prob.e_cam, prob.e_pt
+
+    def total_cost(cam_Tcw, p_xyz):
+        r, _, _, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
+        active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
+        _, _, cost = _robust_weights(r, prob.e_w, active, huber_delta)
+        return cost
+
+    def lm_step(cam_Tcw, p_xyz, lam):
+        r, J_cam, J_pt, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
+        active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
+        _, w, _ = _robust_weights(r, prob.e_w, active, huber_delta)
+        J_cam = J_cam * (
+            1.0 - prob.cam_fixed[prob.e_cam].astype(J_cam.dtype)
+        )[:, None, None]
+        wJc = w[:, None, None] * J_cam
+        # block-diagonal Hessians + gradients (scatter-add)
+        Hcc = jnp.zeros((C, 6, 6)).at[e_cam].add(
+            jnp.einsum("eij,eik->ejk", wJc, J_cam))
+        g_c = jnp.zeros((C, 6)).at[e_cam].add(
+            jnp.einsum("eij,ei->ej", wJc, r))
+        Hpp = jnp.zeros((P, 3, 3)).at[e_pt].add(
+            jnp.einsum("eij,eik->ejk", w[:, None, None] * J_pt, J_pt))
+        g_p = jnp.zeros((P, 3)).at[e_pt].add(
+            jnp.einsum("eij,ei->ej", w[:, None, None] * J_pt, r))
+        # per-edge coupling block B_e = J_cam^T W J_pt  (6, 3)
+        B = jnp.einsum("eij,eik->ejk", wJc, J_pt)          # (E, 6, 3)
+        diag_p = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp))
+        Hpp_inv = jnp.linalg.inv(Hpp + lam * diag_p + 1e-6 * jnp.eye(3))
+        diag_c = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc))
+        Hcc_d = Hcc + lam * diag_c
+
+        def WHW(x):
+            """(W Hpp^-1 W^T x) streamed over edges; x: (C, 6)."""
+            z = jnp.zeros((P, 3)).at[e_pt].add(
+                jnp.einsum("eji,ej->ei", B, x[e_cam]))
+            v = jnp.einsum("pab,pb->pa", Hpp_inv, z)
+            return jnp.zeros((C, 6)).at[e_cam].add(
+                jnp.einsum("eab,eb->ea", B, v[e_pt]))
+
+        def matvec(x):
+            y = jnp.einsum("cab,cb->ca", Hcc_d, x) - WHW(x)
+            # keep fixed / observation-free cameras well-posed
+            pin = prob.cam_fixed | (jnp.einsum("cii->c", Hcc) < 1e-8)
+            return jnp.where(pin[:, None], x, y + 1e-6 * x)
+
+        # exact block-diagonal of S for the preconditioner, edge-wise:
+        # D_c = Hcc_d(c) - sum_e B_e Hpp_inv(p(e)) B_e^T
+        S_diag = Hcc_d - jnp.zeros((C, 6, 6)).at[e_cam].add(
+            jnp.einsum("eab,ebc,edc->ead", B, Hpp_inv[e_pt], B))
+        pin = prob.cam_fixed | (jnp.einsum("cii->c", Hcc) < 1e-8)
+        S_diag = jnp.where(
+            pin[:, None, None],
+            jnp.broadcast_to(jnp.eye(6), (C, 6, 6)), S_diag + 1e-6 * jnp.eye(6),
+        )
+        Pinv = jnp.linalg.inv(S_diag)
+
+        rhs = g_c - jnp.zeros((C, 6)).at[e_cam].add(
+            jnp.einsum("eab,eb->ea", B,
+                       jnp.einsum("pab,pb->pa", Hpp_inv, g_p)[e_pt]))
+        rhs = jnp.where(pin[:, None], 0.0, rhs)
+
+        b = -rhs
+        x0 = jnp.zeros((C, 6))
+        r_cg = b
+        z = jnp.einsum("cij,cj->ci", Pinv, r_cg)
+        p = z
+
+        def cg_body(_, s):
+            x, r_cg, z, p = s
+            Ap = matvec(p)
+            rz = jnp.sum(r_cg * z)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+            x = x + alpha * p
+            r_new = r_cg - alpha * Ap
+            z_new = jnp.einsum("cij,cj->ci", Pinv, r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
+            return x, r_new, z_new, z_new + beta * p
+
+        delta_c, *_ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, r_cg, z, p))
+        delta_c = delta_c * (1.0 - prob.cam_fixed.astype(delta_c.dtype))[:, None]
+        # back-substitute points edge-wise:
+        # dp = -Hpp^-1 (g_p + sum_e B_e^T dc(e))
+        Wt_dc = jnp.zeros((P, 3)).at[e_pt].add(
+            jnp.einsum("eji,ej->ei", B, delta_c[e_cam]))
+        delta_p = -jnp.einsum("pab,pb->pa", Hpp_inv, g_p + Wt_dc)
+        has_obs = jnp.einsum("pii->p", Hpp) > 0
+        delta_p = jnp.where((prob.p_valid & has_obs)[:, None], delta_p, 0.0)
+        return exp_se3(delta_c) @ cam_Tcw, p_xyz + delta_p
+
+    def body(_, carry):
+        cam_Tcw, p_xyz, lam = carry
+        cam_new, p_new = lm_step(cam_Tcw, p_xyz, lam)
+        f_old = total_cost(cam_Tcw, p_xyz)
+        f_new = total_cost(cam_new, p_new)
+        accept = f_new < f_old
+        cam_Tcw = jnp.where(accept, cam_new, cam_Tcw)
+        p_xyz = jnp.where(accept, p_new, p_xyz)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e6)
+        return cam_Tcw, p_xyz, lam
+
+    cam_Tcw, p_xyz, _ = jax.lax.fori_loop(
+        0, n_iters, body,
+        (prob.cam_Tcw, prob.p_xyz, jnp.asarray(init_lambda, jnp.float32)),
+    )
+    cost = total_cost(cam_Tcw, p_xyz)
+    stats = BAStats(
+        cost=cost,
+        n_edges=jnp.sum(prob.e_valid.astype(jnp.int32)),
+        edge_chi2=jnp.zeros_like(prob.e_w),
+    )
+    return cam_Tcw, p_xyz, stats
+
+
 def solve_ba_with_outlier_rounds(
     cam: Pinhole,
     prob: BAProblem,

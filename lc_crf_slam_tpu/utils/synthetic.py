@@ -48,6 +48,19 @@ class SyntheticWorld:
     desc_flip_prob: float = 0.02      # per-bit observation noise
     dynamic_speed: float = 0.04       # m/frame cluster translation
     dynamic_dir: Optional[tuple] = None  # None = random (z damped)
+    # Rendered-mode rigid moving object: a fronto-parallel textured plane
+    # ("billboard") sweeping through the scene — the synthetic analog of
+    # TUM walking_* sequences' person. Unlike the dot-splat dynamic
+    # cluster (whose overlapping patches destroy each other's texture),
+    # the billboard yields MANY stable, re-matchable dynamic features,
+    # which is exactly the coherent-surface case that captures an
+    # undefended pose solve. Only affects render=True frames.
+    billboard: bool = False
+    bb_center0: tuple = (-0.8, 0.0, 2.6)  # world center at frame 0
+    bb_size: tuple = (1.2, 1.6)           # (width, height) meters
+    bb_speed: float = 0.04                # m/frame
+    bb_dir: tuple = (1.0, 0.0, 0.0)       # unit direction (z ignored)
+    bb_n_dots: int = 100                  # splat-style feature dots
     trajectory: str = "orbit"         # orbit | line | loop
     box: tuple = (6.0, 4.0, 4.0)      # world extents (x, y, z)
     rng: np.random.Generator = field(init=False)
@@ -149,6 +162,9 @@ class SyntheticWorld:
         )
         if render:
             frame.image, frame.depth_image = self._render(uv, z[ids], ids)
+            if self.billboard:
+                self._render_billboard(frame.image, frame.depth_image,
+                                       T_wc, k)
         return frame
 
     _PATCH_R = 19  # rendered texture half-width per point (full BRIEF support)
@@ -203,6 +219,106 @@ class SyntheticWorld:
                                     x0 - (x - r) : x1 - (x - r)]
             depth_img[max(y - 2, 0) : y + 3, max(x - 2, 0) : x + 3] = d
         return np.clip(img, 0, 255), depth_img
+
+    # --- moving billboard (rendered rigid object) ---------------------------
+    def bb_center(self, k: int) -> np.ndarray:
+        d = np.asarray(self.bb_dir, np.float64)
+        d = d / (np.linalg.norm(d) + 1e-9)
+        return np.asarray(self.bb_center0, np.float64) + d * self.bb_speed * k
+
+    def _bb_texture_sample(self, s: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """Bilinear sample of a fixed random texture at billboard-frame
+        coords (s right, q down). Smooth texture keeps the billboard's
+        FAST-corner density comparable to the splat background (a real
+        moving person is ~20-30% of a frame's features, not 90% — a
+        corner-saturated texture would make the mover the overwhelming
+        feature majority and the scenario physically unrepresentative)."""
+        if not hasattr(self, "_bb_tex"):
+            w, h = self.bb_size
+            prng = np.random.default_rng(777)
+            self._bb_nc = (max(int(h / 0.11), 2), max(int(w / 0.11), 2))
+            self._bb_tex = 50.0 + 160.0 * prng.random(self._bb_nc).astype(
+                np.float32)
+        w, h = self.bb_size
+        nq, ns = self._bb_nc
+        fy = np.clip((q + h / 2) / h * (nq - 1), 0, nq - 1 - 1e-6)
+        fx = np.clip((s + w / 2) / w * (ns - 1), 0, ns - 1 - 1e-6)
+        y0 = fy.astype(int); x0 = fx.astype(int)
+        wy = fy - y0; wx = fx - x0
+        t = self._bb_tex
+        base = (t[y0, x0] * (1 - wy) * (1 - wx)
+                + t[y0, x0 + 1] * (1 - wy) * wx
+                + t[y0 + 1, x0] * wy * (1 - wx)
+                + t[y0 + 1, x0 + 1] * wy * wx)
+        # sparse extreme-value dots riding the surface: the same
+        # single-extreme-pixel-on-smooth-context recipe the static
+        # splats use, so per-feature detectability matches and the
+        # billboard's share of frame features is set by its area
+        if not hasattr(self, "_bb_dots"):
+            prng = np.random.default_rng(778)
+            n_dots = max(int(self.bb_n_dots), 0)
+            self._bb_dots = np.stack([
+                prng.uniform(-w / 2 * 0.92, w / 2 * 0.92, n_dots),
+                prng.uniform(-h / 2 * 0.92, h / 2 * 0.92, n_dots),
+            ], axis=-1)
+            self._bb_dot_val = np.where(
+                prng.random(n_dots) < 0.5, 235.0, 15.0)
+        if len(self._bb_dots):
+            d2 = (
+                np.square(s[..., None] - self._bb_dots[None, :, 0])
+                + np.square(q[..., None] - self._bb_dots[None, :, 1])
+            )
+            j = np.argmin(d2, axis=-1)
+            near = d2[np.arange(len(j)), j] < 0.006 ** 2
+            base = np.where(near, self._bb_dot_val[j], base)
+        return base
+
+    def _render_billboard(self, img, depth_img, T_wc: np.ndarray, k: int):
+        """Ray-cast the moving plane into (img, depth_img), in place.
+
+        The plane is fronto-parallel in the world (constant world z);
+        pixels whose back-projected ray hits the moving rectangle closer
+        than any already-drawn splat take its texture and depth."""
+        cam = self.cam
+        H, W = cam.height, cam.width
+        R, c = T_wc[:3, :3], T_wc[:3, 3]
+        us, vs = np.meshgrid(
+            np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64)
+        )
+        dirs_c = np.stack(
+            [(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy,
+             np.ones_like(us)], axis=-1)
+        dirs_w = dirs_c @ R.T
+        ctr = self.bb_center(k)
+        dz = dirs_w[..., 2]
+        t = np.where(np.abs(dz) > 1e-6, (ctr[2] - c[2]) / np.where(
+            np.abs(dz) > 1e-6, dz, 1.0), -1.0)
+        pw = c + t[..., None] * dirs_w
+        w, h = self.bb_size
+        s = pw[..., 0] - ctr[0]
+        q = pw[..., 1] - ctr[1]
+        # camera-frame depth of the hit is exactly t (dirs_c z-component = 1)
+        hit = (t > 0.1) & (np.abs(s) < w / 2) & (np.abs(q) < h / 2)
+        occl = hit & ((depth_img <= 0) | (t < depth_img))
+        img[occl] = self._bb_texture_sample(s[occl], q[occl])
+        depth_img[occl] = t[occl].astype(np.float32)
+
+    def bb_gt_dynamic(self, xyz: np.ndarray, margin: float = 0.08,
+                      n: Optional[int] = None) -> np.ndarray:
+        """GT-dynamic test for reconstructed points: within `margin` of the
+        billboard plane and inside the rectangle swept over frames 0..n."""
+        n = n or self.n_frames
+        c0, c1 = self.bb_center(0), self.bb_center(n - 1)
+        lo = np.minimum(c0, c1)
+        hi = np.maximum(c0, c1)
+        w, h = self.bb_size
+        return (
+            (np.abs(xyz[:, 2] - c0[2]) < margin)
+            & (xyz[:, 0] > lo[0] - w / 2 - margin)
+            & (xyz[:, 0] < hi[0] + w / 2 + margin)
+            & (xyz[:, 1] > lo[1] - h / 2 - margin)
+            & (xyz[:, 1] < hi[1] + h / 2 + margin)
+        )
 
     def export_tum_sequence(self, out_dir: str, n: Optional[int] = None,
                             depth_factor: float = 5000.0) -> None:

@@ -165,3 +165,59 @@ class TestSchurBA:
         f = jax.jit(lambda p: solve_ba(CAM, p, n_iters=5), static_argnums=())
         cam_out, p_out, stats = f(prob)
         assert np.isfinite(float(stats.cost))
+
+
+class TestJointCG:
+    """Matrix-free joint Schur CG (solve_ba_cg) — full-map global BA."""
+
+    def test_matches_dense_schur(self):
+        from lc_crf_slam_tpu.ops.schur import solve_ba_cg
+
+        prob, cams_true, pts, nc, npts = make_problem(pix_noise=0.3, seed=5)
+        cam_d, p_d, _ = solve_ba(CAM, prob, n_iters=12)
+        cam_c, p_c, _ = solve_ba_cg(CAM, prob, n_iters=12)
+        np.testing.assert_allclose(
+            np.asarray(cam_c)[:nc, :3, 3], np.asarray(cam_d)[:nc, :3, 3],
+            atol=2e-3,
+        )
+        ce = cam_errs(cam_c, cams_true, nc)
+        assert ce.max() < 0.01, ce
+
+    def test_large_problem_smoke(self):
+        """A problem size whose dense (P, C, 6, 3) coupling tensor would
+        be ~0.9 GB — must run matrix-free."""
+        from lc_crf_slam_tpu.ops.schur import BAProblem, solve_ba_cg
+
+        rng = np.random.default_rng(0)
+        C, P = 64, 20000
+        pts = rng.uniform([-4, -3, 2], [4, 3, 9], (P, 3)).astype(np.float32)
+        cams = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        cams[:, 0, 3] = 0.05 * np.arange(C)
+        e_pt = np.repeat(np.arange(P), 4)
+        e_cam = rng.integers(0, C, e_pt.shape[0])
+        pc = np.einsum("eij,ej->ei", cams[e_cam][:, :3, :3], pts[e_pt]) \
+            + cams[e_cam][:, :3, 3]
+        z = np.maximum(pc[:, 2], 1e-3)
+        u = CAM.fx * pc[:, 0] / z + CAM.cx
+        v = CAM.fy * pc[:, 1] / z + CAM.cy
+        noisy = cams.copy()
+        noisy[1:, :3, 3] += rng.normal(0, 0.01, (C - 1, 3)).astype(np.float32)
+        fixed = np.zeros(C, bool); fixed[0] = True
+        prob = BAProblem(
+            cam_Tcw=jnp.asarray(noisy),
+            cam_fixed=jnp.asarray(fixed),
+            p_xyz=jnp.asarray(pts + rng.normal(0, 0.005, pts.shape)
+                              .astype(np.float32)),
+            p_valid=jnp.ones(P, bool),
+            e_cam=jnp.asarray(e_cam, jnp.int32),
+            e_pt=jnp.asarray(e_pt, jnp.int32),
+            e_uv=jnp.asarray(np.stack([u, v], -1), jnp.float32),
+            e_ur=jnp.full(e_pt.shape[0], -1.0, jnp.float32),
+            e_w=jnp.ones(e_pt.shape[0], jnp.float32),
+            e_valid=jnp.ones(e_pt.shape[0], bool),
+        )
+        cam_c, p_c, stats = solve_ba_cg(CAM, prob, n_iters=4, cg_iters=24)
+        assert np.isfinite(float(stats.cost))
+        err = np.linalg.norm(
+            np.asarray(cam_c)[1:, :3, 3] - cams[1:, :3, 3], axis=-1)
+        assert err.max() < 5e-3, err.max()
