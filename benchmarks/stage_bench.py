@@ -82,6 +82,28 @@ def main() -> None:
         "global_ba": lambda: slam._global_ba(cfg, cam, m, 2),
     }
 
+    if args.mapping_detail:
+        from lc_crf_slam_tpu.models import mapping as mp
+
+        for name, fn in [
+            ("map/triangulate", mp.create_new_points),
+            ("map/fuse", mp.fuse_duplicates),
+            ("map/refresh", mp.refresh_point_stats),
+            ("map/local_ba", mp.local_bundle_adjustment),
+        ]:
+            stages[name] = (
+                lambda f=jax.jit(fn, static_argnums=(0, 1)):
+                f(cfg, cam, m, ts.ref_kf)
+            )
+        stages["map/cull_pts"] = (
+            lambda f=jax.jit(mp.cull_points, static_argnums=(0,)):
+            f(cfg, m)
+        )
+        stages["map/cull_kfs"] = (
+            lambda f=jax.jit(mp.cull_keyframes, static_argnums=(0,)):
+            f(cfg, m, ts.ref_kf)
+        )
+
     def fence(res):
         # block_until_ready does NOT block on the axon remote backend —
         # fence with a concrete (tiny) host fetch of one result leaf

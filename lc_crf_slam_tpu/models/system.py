@@ -278,16 +278,16 @@ class SLAMSystem:
         zero host round-trips inside a chunk (this is how bench.py
         measures frames/s).
 
-        Keyframe fidelity matches the per-frame API exactly: inside the
-        scan, the carry FREEZES right after the first frame that requests
-        a keyframe (later steps compute but their results are discarded),
-        so the tracker state on exit is precisely that frame's state —
-        the keyframe is inserted from it, mapping/loop/CRF run, and the
-        next chunk resumes at the following frame. Padded tail steps are
-        frozen the same way, so they never pollute frame counters or CRF
-        evidence EMAs. Worst-case cost is re-tracking up to chunk-1
-        frames after each keyframe (the reference's mapping thread pays
-        an analogous stall when the KF queue backs up).
+        Keyframe fidelity matches the per-frame API exactly: EVERY frame
+        that requests a keyframe inserts it (and runs the mapping pass)
+        right there inside the scan step, under a `lax.cond` — on TPU the
+        conditional executes only the taken branch, so non-KF frames pay
+        ~nothing and no frame is ever re-tracked. Padded tail steps
+        freeze the carry, so they never pollute frame counters or CRF
+        evidence EMAs. Deviations from the per-frame API: CRF relabeling
+        runs once per chunk (not per frame), and loop-closure detection
+        once per chunk when it contains a keyframe (the dynamic-world
+        parity gate in tests/test_tracking_e2e.py bounds the effect).
         Returns (N, 4, 4) camera poses Tcw."""
         import jax
 
@@ -310,91 +310,85 @@ class SLAMSystem:
             with_crf = self.enable_crf
 
             @jax.jit
-            def run_chunk(m, ts, grays, depths, valid, tstamps, stop_on_kf):
-                def step(carry, inp):
-                    m, ts, stop = carry
-                    gray, depth, v = inp
-                    fr = build_frame(cam, cfg, gray, depth)
-                    ts2, m2, info = track_step(cfg, cam, m, ts, fr)
-                    use = v & ~stop
-                    sel = lambda new, old: jax.tree.map(
-                        lambda a, b: jnp.where(use, a, b), new, old)
-                    kf_here = use & info.need_kf & stop_on_kf
-                    out = (ts2.Tcw, kf_here, info.obs, info.near_map,
-                           fr, use)
-                    return (sel(m2, m), sel(ts2, ts), stop | kf_here), out
-                (m, ts, _), outs = jax.lax.scan(
-                    step, (m, ts, jnp.asarray(False)),
-                    (grays, depths, valid),
-                )
-                Tcw_seq, kf_flags, obs_seq, near_seq, fr_seq, use_seq = outs
+            def run_chunk(m, ts, grays, depths, valid, tstamps, allow_kf):
                 # keyframe insertion + mapping + CRF run INSIDE the chunk
                 # program: on a remote/tunneled TPU every extra dispatch
                 # and fetch is a full round trip, and they made the
                 # throughput API latency-bound (the reference's mapping
                 # thread analog, fused into the same device program)
-                k = jnp.maximum(
-                    jnp.sum(use_seq.astype(jnp.int32)) - 1, 0)
-                any_kf = jnp.any(kf_flags)
+                def step(carry, inp):
+                    m, ts = carry
+                    gray, depth, v, tstamp = inp
+                    fr = build_frame(cam, cfg, gray, depth)
+                    ts2, m2, info = track_step(cfg, cam, m, ts, fr)
+                    kf_here = v & info.need_kf & allow_kf
 
-                def do_insert(m, ts):
-                    frame_k = jax.tree.map(lambda x: x[k], fr_seq)
-                    m2, ts2 = insert_keyframe(
-                        cfg, cam, m, ts, frame_k, obs_seq[k], tstamps[k],
-                        near_seq[k],
-                    )
-                    if with_mapping:
-                        m2 = mapping_step(cfg, cam, m2, ts2.ref_kf)
-                    return m2, ts2
+                    def do_kf(m2, ts2):
+                        m3, ts3 = insert_keyframe(
+                            cfg, cam, m2, ts2, fr, info.obs, tstamp,
+                            info.near_map,
+                        )
+                        if with_mapping:
+                            m3 = mapping_step(cfg, cam, m3, ts3.ref_kf)
+                        return m3, ts3
 
-                m, ts = jax.lax.cond(
-                    any_kf, do_insert, lambda m, ts: (m, ts), m, ts)
+                    # on TPU only the taken branch executes: non-KF
+                    # frames pay ~nothing for the fused mapping pass
+                    m2, ts2 = jax.lax.cond(
+                        kf_here, do_kf, lambda a, b: (a, b), m2, ts2)
+                    sel = lambda new, old: jax.tree.map(
+                        lambda a, b: jnp.where(v, a, b), new, old)
+                    out = (ts2.Tcw, kf_here, ts2.ref_kf)
+                    return (sel(m2, m), sel(ts2, ts)), out
+
+                (m, ts), outs = jax.lax.scan(
+                    step, (m, ts), (grays, depths, valid, tstamps),
+                )
+                Tcw_seq, kf_flags, refkf_seq = outs
                 if with_crf:
                     m, _ = crf_step(cfg, m, ts.frame_idx)
                 # camera-to-world poses computed ON DEVICE so the host
                 # needs no per-frame se3_inverse dispatch+fetch
                 Twc_seq = jax.vmap(se3_inverse)(Tcw_seq)
-                return m, ts, (Tcw_seq, Twc_seq, kf_flags, use_seq,
-                               any_kf, ts.ref_kf)
+                return m, ts, (Tcw_seq, Twc_seq, kf_flags, refkf_seq)
 
             self._scan_chunk_fn = run_chunk
             self._scan_chunk_len = chunk
             self._scan_chunk_caps = (with_mapping, with_crf)
 
         loc_only = getattr(self, "_localization_only", False)
-        stop_on_kf = jnp.asarray(not loc_only)
+        allow_kf = jnp.asarray(not loc_only)
         poses = []
         i = 0
         while i < n:
             j = min(i + chunk, n)
+            take = j - i
             g = grays[i:j]
             d = depths[i:j]
             valid = np.zeros((chunk,), bool)
-            valid[: j - i] = True
+            valid[:take] = True
             tst = np.zeros((chunk,), np.float32)
-            tst[: j - i] = timestamps[i:j]
-            if j - i < chunk:   # pad the tail chunk to keep shapes static
-                pad = chunk - (j - i)
+            tst[:take] = timestamps[i:j]
+            if take < chunk:    # pad the tail chunk to keep shapes static
+                pad = chunk - take
                 g = jnp.concatenate([g, jnp.repeat(g[-1:], pad, 0)])
                 d = jnp.concatenate([d, jnp.repeat(d[-1:], pad, 0)])
             m2, ts2, outs = self._scan_chunk_fn(
                 self.map, self.ts, g, d, jnp.asarray(valid),
-                jnp.asarray(tst), stop_on_kf)
+                jnp.asarray(tst), allow_kf)
             self.map, self.ts = m2, ts2
             # ONE packed device->host transfer per chunk
-            Tcw_np, Twc_np, flags, use, had_kf, ref_kf = jax.device_get(
-                outs)
-            take = int(use.sum())          # frames actually committed
+            Tcw_np, Twc_np, flags, refkf = jax.device_get(outs)
             poses.append(Tcw_np[:take])
             for k in range(take):
                 self.trajectory.append(
                     (float(timestamps[i + k]), Twc_np[k])
                 )
-            if bool(had_kf):
-                self.kf_log.append(
-                    (float(timestamps[i + take - 1]), int(ref_kf)))
-                if self.enable_loop:
-                    self._try_close_loop()
+                if flags[k]:
+                    self.kf_log.append(
+                        (float(timestamps[i + k]), int(refkf[k])))
+            if flags[:take].any() and self.enable_loop:
+                self._try_close_loop()
             i += take
         return np.concatenate(poses)
 

@@ -57,7 +57,38 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--timing", action="store_true",
                     help="print the per-stage timing table at the end")
+    ap.add_argument("--throughput", action="store_true",
+                    help="batch frames through track_sequence (fused "
+                    "chunked lax.scan; keyframes+mapping inside the "
+                    "device program) instead of per-frame calls")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="frames per device program in --throughput mode")
     return ap
+
+
+def _run_throughput_stream(slam, frames_iter, n, chunk, window=64):
+    """Feed a (t, gray, depth) stream through track_sequence in windows
+    of `window` frames: bounds host memory on long datasets while each
+    window still amortizes dispatch over fused chunks."""
+    import numpy as np
+
+    buf = []
+    done = 0
+    for item in frames_iter:
+        buf.append(item)
+        if len(buf) == window:
+            slam.track_sequence(
+                np.stack([g for _, g, _ in buf]).astype(np.float32),
+                np.stack([d for _, _, d in buf]).astype(np.float32),
+                np.asarray([t for t, _, _ in buf]), chunk=chunk)
+            done += len(buf)
+            print(f"frame {done}/{n}", file=sys.stderr)
+            buf = []
+    if buf:
+        slam.track_sequence(
+            np.stack([g for _, g, _ in buf]).astype(np.float32),
+            np.stack([d for _, _, d in buf]).astype(np.float32),
+            np.asarray([t for t, _, _ in buf]), chunk=chunk)
 
 
 def main(argv=None) -> int:
@@ -106,13 +137,25 @@ def main(argv=None) -> int:
             cam=cam, n_frames=args.frames, n_static=900,
             n_dynamic=args.dynamic,
         )
-        n = args.max_frames or args.frames
-        for k in range(min(n, args.frames)):
-            f = world.frame(k, render=args.render)
-            if args.render:
-                slam.track_rgbd(f.image, f.depth_image, f.timestamp)
-            else:
-                slam.track_observations(f.uv, f.depth, f.desc, f.timestamp)
+        n = min(args.max_frames or args.frames, args.frames)
+        if args.throughput and args.render:
+            import numpy as np
+
+            fs = [world.frame(k, render=True) for k in range(n)]
+            slam.track_sequence(
+                np.stack([f.image for f in fs]).astype(np.float32),
+                np.stack([f.depth_image for f in fs]).astype(np.float32),
+                np.asarray([f.timestamp for f in fs]),
+                chunk=args.chunk,
+            )
+        else:
+            for k in range(n):
+                f = world.frame(k, render=args.render)
+                if args.render:
+                    slam.track_rgbd(f.image, f.depth_image, f.timestamp)
+                else:
+                    slam.track_observations(
+                        f.uv, f.depth, f.desc, f.timestamp)
         gt = world.groundtruth()
     else:
         from .utils.io_tum import TUMSequence, load_groundtruth
@@ -135,17 +178,24 @@ def main(argv=None) -> int:
                 cfg.tracking.depth_map_factor,
             )
             print("using native prefetching loader", file=sys.stderr)
-            for k, (t, gray, depth) in enumerate(loader):
-                slam.track_rgbd(gray, depth, t)
-                if k % 50 == 0:
-                    print(f"frame {k}/{n}", file=sys.stderr)
+            if args.throughput:
+                _run_throughput_stream(slam, loader, n, args.chunk)
+            else:
+                for k, (t, gray, depth) in enumerate(loader):
+                    slam.track_rgbd(gray, depth, t)
+                    if k % 50 == 0:
+                        print(f"frame {k}/{n}", file=sys.stderr)
             loader.close()
         else:
-            for k in range(n):
-                t, gray, depth = seq[k]
-                slam.track_rgbd(gray, depth, t)
-                if k % 50 == 0:
-                    print(f"frame {k}/{n}", file=sys.stderr)
+            if args.throughput:
+                _run_throughput_stream(
+                    slam, (seq[k] for k in range(n)), n, args.chunk)
+            else:
+                for k in range(n):
+                    t, gray, depth = seq[k]
+                    slam.track_rgbd(gray, depth, t)
+                    if k % 50 == 0:
+                        print(f"frame {k}/{n}", file=sys.stderr)
         gt_path = os.path.join(args.seq, "groundtruth.txt")
         if os.path.exists(gt_path):
             from .geometry.se3 import quat_to_rotmat

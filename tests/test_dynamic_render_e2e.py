@@ -100,3 +100,25 @@ class TestRenderedDynamicScene:
         assert d["dyn_alive"] <= 0.10 * d["alive"], d
         assert d["fp_rate"] < 0.30, d
         assert d["alive"] >= 120, d
+
+    def test_throughput_mode_parity_on_dynamic_world(self):
+        """track_sequence (fused-chunk scan; KFs inserted in-scan) must
+        hold the defended accuracy bar ON A DYNAMIC WORLD, not just the
+        static one (VERDICT r1 item 10). CRF cadence differs (per chunk
+        vs per frame), so the gate is the absolute defended bar, not
+        bitwise pose equality."""
+        world = _world()
+        frames = [world.frame(k, render=True) for k in range(N_FRAMES)]
+        grays = np.stack([f.image for f in frames]).astype(np.float32)
+        depths = np.stack(
+            [f.depth_image for f in frames]).astype(np.float32)
+        ts = np.asarray([f.timestamp for f in frames])
+        slam = SLAMSystem(TUM3, SLAMConfig(), enable_crf=True)
+        poses = slam.track_sequence(grays, depths, ts, chunk=5)
+        assert poses.shape == (N_FRAMES - 1, 4, 4)
+        ts_est, pe = slam.get_trajectory()
+        gt_t, gt = world.groundtruth()
+        ate = evaluate_ate(ts_est, pe, gt_t, gt).rmse
+        assert ate < 0.03, ate
+        # keyframes were inserted mid-chunk (not only at chunk ends)
+        assert len(slam.kf_log) >= 3
