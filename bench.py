@@ -99,8 +99,13 @@ def main():
     ddepths = np.stack([f.depth_image for f in dframes]).astype(np.float32)
     dts = np.arange(N_FRAMES + 1, dtype=np.float64) / 30.0
 
+    # one system, reset between runs: jitted programs (and the fused
+    # chunk fn) trace once — timed runs measure device + dispatch, not
+    # Python re-tracing of a fresh SLAMSystem
+    slam = SLAMSystem(cam, cfg, enable_crf=True, enable_mapping=True)
+
     def full_run():
-        slam = SLAMSystem(cam, cfg, enable_crf=True, enable_mapping=True)
+        slam.reset()
         t0 = time.perf_counter()
         poses = slam.track_sequence(dgrays, ddepths, dts)
         _ = np.asarray(poses[-1])

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--mapping-detail", action="store_true",
+                    help="also time each mapping_step substage")
     args = ap.parse_args()
 
     import jax

@@ -26,15 +26,31 @@ def enable_compilation_cache(path: str | None = None) -> None:
     TPU backend; the persistent cache makes every run after the first
     start in seconds. Called by run_slam, bench.py and the driver entry —
     safe to call repeatedly."""
+    import hashlib
     import os
+    import platform
 
     import jax
 
-    cache_dir = path or os.environ.get(
+    base = path or os.environ.get(
         "SLAM_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache"),
     )
+    # Scope the cache by a host-CPU fingerprint: XLA:CPU AOT executables
+    # embed the compiling machine's feature set (avx512 etc.) and jax's
+    # cache key does NOT include it — loading an entry written by a
+    # different host SIGILL/segfaults (observed: cpu_aot_loader feature
+    # mismatch, then a crash in test runs sharing the cache dir).
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next(
+                (ln for ln in fh if ln.startswith("flags")), "")
+    except OSError:
+        flags = platform.processor()
+    fp = hashlib.sha1(
+        (platform.machine() + flags).encode()).hexdigest()[:12]
+    cache_dir = os.path.join(base, fp)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

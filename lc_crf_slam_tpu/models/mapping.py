@@ -141,6 +141,7 @@ def local_bundle_adjustment(
         huber_delta=cfg.local_ba.huber_delta,
         chi2_mono=cfg.local_ba.chi2_mono,
         chi2_stereo=cfg.local_ba.chi2_stereo,
+        grid=(BA_CAMS, m.kf_obs.shape[1]),
     )
     # write back optimized camera poses (non-fixed, real slots)
     upd_cam = (~cam_fixed) & (cam_ids >= 0)

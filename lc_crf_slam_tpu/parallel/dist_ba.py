@@ -24,6 +24,7 @@ from ..ops.schur import (
     BAStats,
     _edge_residuals,
     _robust_weights,
+    inv3x3,
 )
 
 
@@ -59,7 +60,7 @@ def _solve_from_blocks(cam_Tcw, p_xyz, prob, blocks, lam):
     Hcc, g_c, Hpp, g_p, Wpc = blocks
     C = cam_Tcw.shape[0]
     diag_p = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp))
-    Hpp_inv = jnp.linalg.inv(Hpp + lam * diag_p + 1e-6 * jnp.eye(3))
+    Hpp_inv = inv3x3(Hpp + lam * diag_p + 1e-6 * jnp.eye(3))
     Tpc = jnp.einsum("pcia,pab->pcib", Wpc, Hpp_inv)
     S_red = jnp.einsum("pcia,pdja->cidj", Tpc, Wpc)
     diag_c = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc))
@@ -204,7 +205,7 @@ def dist_solve_ba_blocks(
                 jnp.einsum("eij,eik->ejk", wJc, J_pt)).reshape(pps, C, 6, 3)
 
             diag_p = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp))
-            Hpp_inv = jnp.linalg.inv(Hpp + lam * diag_p + 1e-6 * jnp.eye(3))
+            Hpp_inv = inv3x3(Hpp + lam * diag_p + 1e-6 * jnp.eye(3))
             Tpc = jnp.einsum("pcia,pab->pcib", Wpc, Hpp_inv)
             # the ONLY cross-device reduction: C6xC6 Schur + camera grads
             S_red = jax.lax.psum(

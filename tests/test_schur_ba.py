@@ -167,6 +167,50 @@ class TestSchurBA:
         assert np.isfinite(float(stats.cost))
 
 
+class TestGridFastPath:
+    """Streaming one-hot assembly (grid=(C, K)) == generic gather path."""
+
+    def test_matches_generic(self):
+        prob, cams_true, pts, nc, npts = make_problem(
+            pix_noise=0.3, mono_frac=0.3, seed=9)
+        # re-grid: camera-major layout with K slots per camera
+        C, K = 8, 320
+        e_cam = np.asarray(prob.e_cam)
+        order = []
+        valid = np.zeros(C * K, bool)
+        idx = np.zeros(C * K, np.int32)
+        for c in range(C):
+            mine = np.nonzero(
+                (e_cam == c) & np.asarray(prob.e_valid))[0]
+            assert len(mine) <= K
+            idx[c * K: c * K + len(mine)] = mine
+            valid[c * K: c * K + len(mine)] = True
+        gp = BAProblem(
+            cam_Tcw=prob.cam_Tcw, cam_fixed=prob.cam_fixed,
+            p_xyz=prob.p_xyz, p_valid=prob.p_valid,
+            e_cam=jnp.asarray(
+                np.repeat(np.arange(C, dtype=np.int32), K)),
+            e_pt=jnp.asarray(np.asarray(prob.e_pt)[idx]),
+            e_uv=jnp.asarray(np.asarray(prob.e_uv)[idx]),
+            e_ur=jnp.asarray(np.where(
+                valid, np.asarray(prob.e_ur)[idx], -1.0
+            ).astype(np.float32)),
+            e_w=jnp.asarray(np.asarray(prob.e_w)[idx]),
+            e_valid=jnp.asarray(valid),
+        )
+        cam_g, p_g, _ = solve_ba(CAM, gp, n_iters=8, grid=(C, K))
+        cam_n, p_n, _ = solve_ba(CAM, gp, n_iters=8)
+        np.testing.assert_allclose(
+            np.asarray(cam_g)[:nc], np.asarray(cam_n)[:nc], atol=1e-4)
+        # points: identical up to f32 accumulation order (a few weakly
+        # constrained points drift ~1e-3 under different summation trees)
+        d = np.abs(np.asarray(p_g)[:npts] - np.asarray(p_n)[:npts])
+        assert np.percentile(d, 99) < 1e-3, np.percentile(d, 99)
+        assert d.max() < 2e-2, d.max()
+        ce = cam_errs(cam_g, cams_true, nc)
+        assert ce.max() < 0.02, ce
+
+
 class TestJointCG:
     """Matrix-free joint Schur CG (solve_ba_cg) — full-map global BA."""
 
