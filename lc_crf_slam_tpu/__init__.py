@@ -32,6 +32,15 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
     import jax
 
+    # TPU/accelerator backends only: with the cache enabled XLA:CPU
+    # takes its AOT compile-and-serialize path, which segfaults on the
+    # large fused-chunk programs (observed twice in full-suite runs,
+    # crash inside backend_compile_and_load; plain JIT compiles the
+    # same programs fine). CPU compiles are seconds, the cache's whole
+    # value is the minutes-long remote-TPU compile — so gate on backend.
+    if jax.default_backend() == "cpu":
+        return
+
     base = path or os.environ.get(
         "SLAM_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(

@@ -92,6 +92,13 @@ class LocalBAConfig:
     max_obs: int = 16384
     outer_iters_1: int = 5
     outer_iters_2: int = 10
+    # interruptible schedule for throughput mode: the reference's
+    # LocalMapping sets mbAbortBA and cuts local BA short whenever the
+    # next keyframe is already queued (InterruptBA, SURVEY.md §4.3);
+    # in the fused-chunk scan a next frame is by construction pending,
+    # so in-scan mapping runs this shorter schedule.
+    interrupt_iters_1: int = 3
+    interrupt_iters_2: int = 5
     chi2_mono: float = 5.991
     chi2_stereo: float = 7.815
     huber_delta: float = 2.7955

@@ -295,8 +295,10 @@ class SLAMSystem:
         depths = jnp.asarray(depths, jnp.float32)
         n = grays.shape[0]
         if not self.initialized:
-            self.track_rgbd(np.asarray(grays[0]), np.asarray(depths[0]),
-                            float(timestamps[0]))
+            # pass the device slices directly — np.asarray here would
+            # fetch the frames back to host (and block on the whole
+            # stack's upload: ~2 s over a tunneled TPU link)
+            self.track_rgbd(grays[0], depths[0], float(timestamps[0]))
             grays, depths = grays[1:], depths[1:]
             timestamps = timestamps[1:]
             n -= 1
@@ -308,6 +310,16 @@ class SLAMSystem:
             cfg, cam = self.cfg, self.cam
             with_mapping = self.enable_mapping
             with_crf = self.enable_crf
+            # InterruptBA analog: in-scan mapping always has the next
+            # frame pending, so local BA runs the shortened schedule
+            # (see LocalBAConfig.interrupt_iters_*)
+            import dataclasses as _dc
+            cfg_map = _dc.replace(
+                cfg, local_ba=_dc.replace(
+                    cfg.local_ba,
+                    outer_iters_1=cfg.local_ba.interrupt_iters_1,
+                    outer_iters_2=cfg.local_ba.interrupt_iters_2,
+                ))
 
             @jax.jit
             def run_chunk(m, ts, grays, depths, valid, tstamps, allow_kf):
@@ -329,7 +341,7 @@ class SLAMSystem:
                             info.near_map,
                         )
                         if with_mapping:
-                            m3 = mapping_step(cfg, cam, m3, ts3.ref_kf)
+                            m3 = mapping_step(cfg_map, cam, m3, ts3.ref_kf)
                         return m3, ts3
 
                     # on TPU only the taken branch executes: non-KF
