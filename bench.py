@@ -115,7 +115,10 @@ def main():
     def full_run():
         slam.reset()
         t0 = time.perf_counter()
-        poses = slam.track_sequence(dgrays, ddepths, dts)
+        # chunk=15: 2 device programs for the 30-frame run — amortizes
+        # the per-chunk dispatch/fetch and scan fixed costs (measured
+        # 16.1 fps at chunk=8 vs 18.2 at 15; KF decisions identical)
+        poses = slam.track_sequence(dgrays, ddepths, dts, chunk=15)
         _ = np.asarray(poses[-1])
         return time.perf_counter() - t0
 

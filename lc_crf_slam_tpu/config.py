@@ -121,6 +121,11 @@ class MappingConfig:
     # world in the next pose solve. 0 disables the cap.
     spawn_cell_px: int = 80
     spawn_cell_quota: int = 16
+    # triangulation partners per keyframe (0 = module default 4);
+    # interrupt_triang_neighbors applies in throughput mode's in-scan
+    # mapping (same InterruptBA rationale as LocalBAConfig).
+    triang_neighbors: int = 0
+    interrupt_triang_neighbors: int = 2
 
 
 @dataclass(frozen=True)

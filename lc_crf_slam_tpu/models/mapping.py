@@ -323,6 +323,11 @@ TRIANG_NEIGHBORS = 4      # covisible partners searched for new points
 TRIANG_CAP = 256          # new points per neighbor pair
 
 
+def _triang_neighbors(cfg: SLAMConfig) -> int:
+    n = getattr(cfg.mapping, "triang_neighbors", 0)
+    return n if n > 0 else TRIANG_NEIGHBORS
+
+
 def create_new_points(
     cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
 ) -> MapState:
@@ -337,7 +342,8 @@ def create_new_points(
     covis = covisibility(m)
     row = covis[kf_idx] * m.kf_alive
     row = row.at[kf_idx].set(0.0)
-    _, nbrs = jax.lax.top_k(row, TRIANG_NEIGHBORS)
+    n_nbrs = _triang_neighbors(cfg)
+    _, nbrs = jax.lax.top_k(row, n_nbrs)
     nbr_ok_all = row[nbrs] >= cfg.mapping.covisibility_min_weight
 
     K = m.kf_obs.shape[1]
@@ -349,7 +355,7 @@ def create_new_points(
     Twc1 = se3_inverse(T1)
     c1 = Twc1[:3, 3]
 
-    for n in range(TRIANG_NEIGHBORS):
+    for n in range(n_nbrs):
         nb = nbrs[n]
         ok_nb = nbr_ok_all[n]
         uv2 = m.kf_uv[nb]

@@ -315,10 +315,15 @@ class SLAMSystem:
             # (see LocalBAConfig.interrupt_iters_*)
             import dataclasses as _dc
             cfg_map = _dc.replace(
-                cfg, local_ba=_dc.replace(
+                cfg,
+                local_ba=_dc.replace(
                     cfg.local_ba,
                     outer_iters_1=cfg.local_ba.interrupt_iters_1,
                     outer_iters_2=cfg.local_ba.interrupt_iters_2,
+                ),
+                mapping=_dc.replace(
+                    cfg.mapping,
+                    triang_neighbors=cfg.mapping.interrupt_triang_neighbors,
                 ))
 
             @jax.jit
