@@ -52,6 +52,12 @@ class TrackingConfig:
     th_depth: float = 40.0        # ThDepth: close/far split, in units of b
     depth_map_factor: float = 5000.0
     min_frames_between_kf: int = 0
+    # throughput-mode KF throttle: the reference's NeedNewKeyFrame
+    # refuses insertion while LocalMapping is busy with >=3 queued KFs
+    # (SetAcceptKeyFrames false); in the fused-chunk scan mapping runs
+    # inline, so the queue-backpressure analog is a minimum frame gap
+    # between in-scan keyframes. Applied only by track_sequence.
+    interrupt_min_kf_gap: int = 2
     max_frames_between_kf: int = 30       # ~fps
     kf_ref_ratio: float = 0.75            # thRefRatio for RGB-D
     kf_min_close_tracked: int = 100       # nTrackedClose threshold

@@ -325,6 +325,15 @@ class SLAMSystem:
                     cfg.mapping,
                     triang_neighbors=cfg.mapping.interrupt_triang_neighbors,
                 ))
+            # queue-backpressure analog (see TrackingConfig): the chunk's
+            # track_step computes need_kf under the throttled minimum gap
+            cfg = _dc.replace(
+                cfg, tracking=_dc.replace(
+                    cfg.tracking,
+                    min_frames_between_kf=max(
+                        cfg.tracking.min_frames_between_kf,
+                        cfg.tracking.interrupt_min_kf_gap,
+                    )))
 
             @jax.jit
             def run_chunk(m, ts, grays, depths, valid, tstamps, allow_kf):

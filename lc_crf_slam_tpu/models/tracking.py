@@ -628,9 +628,17 @@ def insert_keyframe(
     )
     obs_all = jnp.where(obs >= 0, obs, new_ids)
     m, kf_idx = add_keyframe(m, frame, ts.Tcw, timestamp, obs_all)
+    # reference NeedNewKeyFrame: nRefMatches counts only the reference
+    # KF's WELL-OBSERVED points (TrackedMapPoints(nMinObs), nMinObs=3,
+    # or 2 while the map has <=2 KFs) — counting the freshly spawned
+    # points here (1 obs each, up to 512) made thRefRatio fire on
+    # every eligible frame (KF every 2 frames on the billboard world)
+    min_obs = jnp.where(m.n_kfs <= 2, 2, 3)
+    n_obs_pts = m.p_n_obs[jnp.maximum(obs_all, 0)]
     ts = ts._replace(
         ref_kf=kf_idx,
-        ref_matches=jnp.sum((obs_all >= 0).astype(jnp.int32)),
+        ref_matches=jnp.sum(
+            ((obs_all >= 0) & (n_obs_pts >= min_obs)).astype(jnp.int32)),
         n_since_kf=jnp.asarray(0, jnp.int32),
         last_obs=obs_all,
     )
