@@ -61,22 +61,45 @@ class SyntheticWorld:
     bb_speed: float = 0.04                # m/frame
     bb_dir: tuple = (1.0, 0.0, 0.0)       # unit direction (z ignored)
     bb_n_dots: int = 100                  # splat-style feature dots
-    trajectory: str = "orbit"         # orbit | line | loop
+    trajectory: str = "orbit"         # orbit | line | loop | sweep
+    sweep_yaw: float = 1.2            # sweep: max |yaw| (rad); the view
+                                      # leaves the start sector entirely
+                                      # (FOV ~1.18 rad at TUM intrinsics)
+                                      # then returns — a true revisit
     box: tuple = (6.0, 4.0, 4.0)      # world extents (x, y, z)
     rng: np.random.Generator = field(init=False)
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
         bx, by, bz = self.box
-        # Static cloud in a box in front of the world origin, z in [2, 2+bz]
-        self.p_static = np.stack(
-            [
-                self.rng.uniform(-bx / 2, bx / 2, self.n_static),
-                self.rng.uniform(-by / 2, by / 2, self.n_static),
-                self.rng.uniform(2.0, 2.0 + bz, self.n_static),
-            ],
-            axis=-1,
-        )
+        if self.trajectory == "sweep":
+            # Cylindrical shell AROUND the camera: the sweep trajectory
+            # yaws far enough that a frontal box would leave the view
+            # empty mid-sweep; sample points over the swept angular
+            # sector instead (fr1_room-style revisit geometry).
+            pad = 0.8
+            phi = self.rng.uniform(
+                -self.sweep_yaw - pad, self.sweep_yaw + pad, self.n_static)
+            r = self.rng.uniform(2.0, 2.0 + bz, self.n_static)
+            self.p_static = np.stack(
+                [
+                    r * np.sin(phi),
+                    self.rng.uniform(-by / 2, by / 2, self.n_static),
+                    r * np.cos(phi),
+                ],
+                axis=-1,
+            )
+        else:
+            # Static cloud in a box in front of the world origin,
+            # z in [2, 2+bz]
+            self.p_static = np.stack(
+                [
+                    self.rng.uniform(-bx / 2, bx / 2, self.n_static),
+                    self.rng.uniform(-by / 2, by / 2, self.n_static),
+                    self.rng.uniform(2.0, 2.0 + bz, self.n_static),
+                ],
+                axis=-1,
+            )
         # Dynamic cluster: compact blob that translates over time
         center = np.array([bx * 0.15, 0.0, 3.0])
         self.p_dyn0 = center + self.rng.normal(0, 0.3, (self.n_dynamic, 3))
@@ -103,6 +126,17 @@ class SyntheticWorld:
             ang = 2 * np.pi * t
             pos = np.array([0.6 * np.sin(ang), 0.1 * np.sin(2 * ang), 0.4 * (1 - np.cos(ang))])
             yaw = 0.25 * np.sin(ang)
+        elif self.trajectory == "sweep":
+            # yaw 0 -> sweep_yaw -> 0 (smooth), small positional bob:
+            # the camera looks away from the start sector and returns —
+            # the loop-closure revisit scenario (mid-sweep keyframes
+            # share no covisibility with the start/end keyframes)
+            yaw = self.sweep_yaw * np.sin(np.pi * t)
+            pos = np.array([
+                0.15 * np.sin(np.pi * t),
+                0.04 * np.sin(4 * np.pi * t),
+                0.1 * np.sin(np.pi * t),
+            ])
         else:  # orbit: small lateral arc, always looking at the cloud
             ang = 0.8 * np.sin(2 * np.pi * t)
             pos = np.array([0.8 * np.sin(ang), 0.1 * np.sin(4 * np.pi * t), 0.3 * (1 - np.cos(ang))])
@@ -217,7 +251,13 @@ class SyntheticWorld:
             tex = self._point_texture(pid)
             img[y0:y1, x0:x1] = tex[y0 - (y - r) : y1 - (y - r),
                                     x0 - (x - r) : x1 - (x - r)]
-            depth_img[max(y - 2, 0) : y + 3, max(x - 2, 0) : x + 3] = d
+            # depth covers the WHOLE drawn patch (the splat is a physical
+            # surface patch): real RGB-D gives depth on nearly every
+            # textured pixel, and the close-point keyframe policy +
+            # depth-backed point spawning starve when only splat centers
+            # carry depth (observed: 130/668 keypoints with depth at QVGA
+            # -> map starvation -> LOST mid-sweep)
+            depth_img[y0:y1, x0:x1] = d
         return np.clip(img, 0, 255), depth_img
 
     # --- moving billboard (rendered rigid object) ---------------------------
