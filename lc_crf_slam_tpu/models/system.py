@@ -284,10 +284,14 @@ class SLAMSystem:
         conditional executes only the taken branch, so non-KF frames pay
         ~nothing and no frame is ever re-tracked. Padded tail steps
         freeze the carry, so they never pollute frame counters or CRF
-        evidence EMAs. Deviations from the per-frame API: CRF relabeling
-        runs once per chunk (not per frame), and loop-closure detection
-        once per chunk when it contains a keyframe (the dynamic-world
-        parity gate in tests/test_tracking_e2e.py bounds the effect).
+        evidence EMAs. The full defense chain runs in-scan: LK flow
+        evidence (pose-independent, hoisted out of the scan and batched
+        across the chunk) updates the CRF unary every frame, and in-scan
+        keyframes apply the backward-flow spawn gate. Deviations from
+        the per-frame API: CRF relabeling runs once per chunk (not per
+        frame), and loop-closure detection once per chunk when it
+        contains a keyframe (the dynamic-world parity gate in
+        tests/test_tracking_e2e.py bounds the effect).
         Returns (N, 4, 4) camera poses Tcw."""
         import jax
 
@@ -335,24 +339,95 @@ class SLAMSystem:
                         cfg.tracking.interrupt_min_kf_gap,
                     )))
 
+            spawn_gate = with_crf and cfg.crf.spawn_flow_gate > 0
+
             @jax.jit
-            def run_chunk(m, ts, grays, depths, valid, tstamps, allow_kf):
+            def run_chunk(m, ts, grays, depths, valid, tstamps, allow_kf,
+                          gray_prev0):
                 # keyframe insertion + mapping + CRF run INSIDE the chunk
                 # program: on a remote/tunneled TPU every extra dispatch
                 # and fetch is a full round trip, and they made the
                 # throughput API latency-bound (the reference's mapping
                 # thread analog, fused into the same device program)
+
+                # Batched front-end: all chunk frames' pyramids/FAST/BRIEF
+                # in one vmapped program (more lanes per kernel than the
+                # sequential in-scan build).
+                frames = jax.vmap(
+                    lambda g, d: build_frame(cam, cfg, g, d)
+                )(grays, depths)
+
+                if with_crf:
+                    # LK flow is pose-INdependent, so both passes the
+                    # defense chain needs are hoisted out of the scan and
+                    # batched across the chunk (the sequential 1024-lane
+                    # per-frame LK underutilizes the TPU; chunk x 2 x 1024
+                    # lanes amortize the 3-level x 8-GN-iteration chain):
+                    #  - forward  (frame k-1 kps -> image k): flow-vs-rigid
+                    #    evidence for the CRF unary (SURVEY.md §4.5);
+                    #  - backward (frame k kps -> image k-1): keyframe
+                    #    spawn gating, so a large mover cannot re-pollute
+                    #    the map at every in-scan keyframe.
+                    prev_grays = jnp.concatenate(
+                        [gray_prev0[None], grays[:-1]], axis=0)
+                    prev_uvs = jnp.concatenate(
+                        [ts.last_uv[None], frames.uv[:-1]], axis=0)
+                    if spawn_gate:
+                        src = jnp.concatenate([prev_grays, grays])
+                        dst = jnp.concatenate([grays, prev_grays])
+                        uvs = jnp.concatenate([prev_uvs, frames.uv])
+                    else:
+                        src, dst, uvs = prev_grays, grays, prev_uvs
+                    ones = jnp.ones(uvs.shape[:2], bool)
+                    flow = jax.vmap(lk_track)(src, dst, uvs, ones)
+                    nseq = grays.shape[0]
+                    fwd_uv, fwd_ok = flow.uv_next[:nseq], flow.ok[:nseq]
+                    if spawn_gate:
+                        bwd_uv, bwd_ok = flow.uv_next[nseq:], flow.ok[nseq:]
+                    else:
+                        bwd_uv, bwd_ok = fwd_uv, fwd_ok  # unused
+                else:
+                    K = frames.uv.shape[1]
+                    fwd_uv = bwd_uv = jnp.zeros_like(frames.uv)
+                    fwd_ok = bwd_ok = jnp.zeros((grays.shape[0], K), bool)
+
+                def _project(cam, Tcw, pw):
+                    pc = pw @ Tcw[:3, :3].T + Tcw[:3, 3]
+                    z = jnp.maximum(pc[:, 2], 1e-6)
+                    uv = jnp.stack(
+                        [cam.fx * pc[:, 0] / z + cam.cx,
+                         cam.fy * pc[:, 1] / z + cam.cy], axis=-1)
+                    return uv, pc[:, 2]
+
                 def step(carry, inp):
                     m, ts = carry
-                    gray, depth, v, tstamp = inp
-                    fr = build_frame(cam, cfg, gray, depth)
+                    fr, v, tstamp, f_uv, f_ok, b_uv, b_ok = inp
+                    prev_obs = ts.last_obs
+                    prev_valid = ts.last_valid
+                    Tcw_prev = ts.Tcw
                     ts2, m2, info = track_step(cfg, cam, m, ts, fr)
                     kf_here = v & info.need_kf & allow_kf
 
                     def do_kf(m2, ts2):
+                        flow_dyn = None
+                        if spawn_gate:
+                            # rigid prediction of the new frame's kps in
+                            # the previous image vs their measured
+                            # backward flow (mirrors _spawn_flow_dyn)
+                            Twc = se3_inverse(ts2.Tcw)
+                            x = (fr.uv[:, 0] - cam.cx) / cam.fx * fr.depth
+                            y = (fr.uv[:, 1] - cam.cy) / cam.fy * fr.depth
+                            pc = jnp.stack([x, y, fr.depth], axis=-1)
+                            pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
+                            uv_pred, zprev = _project(cam, Tcw_prev, pw)
+                            mism = jnp.linalg.norm(b_uv - uv_pred, axis=-1)
+                            flow_dyn = (
+                                fr.valid & (fr.depth > 0) & b_ok
+                                & (zprev > 0.05)
+                                & (mism > cfg.crf.spawn_flow_gate))
                         m3, ts3 = insert_keyframe(
                             cfg, cam, m2, ts2, fr, info.obs, tstamp,
-                            info.near_map,
+                            info.near_map, flow_dyn,
                         )
                         if with_mapping:
                             m3 = mapping_step(cfg_map, cam, m3, ts3.ref_kf)
@@ -362,13 +437,30 @@ class SLAMSystem:
                     # frames pay ~nothing for the fused mapping pass
                     m2, ts2 = jax.lax.cond(
                         kf_here, do_kf, lambda a, b: (a, b), m2, ts2)
+                    if with_crf:
+                        # flow-consistency EMA update at the new pose
+                        # (mirrors _flow_evidence, LK precomputed above)
+                        use = prev_valid & (prev_obs >= 0)
+                        pw = m2.p_xyz[jnp.maximum(prev_obs, 0)]
+                        uv_pred, zcur = _project(cam, ts2.Tcw, pw)
+                        ferr = jnp.linalg.norm(f_uv - uv_pred, axis=-1)
+                        okf = use & f_ok & (zcur > 0.05)
+                        tgt = jnp.where(okf, prev_obs, m2.capacity_points)
+                        decay = cfg.crf.flow_decay
+                        old = m2.p_flow_err[jnp.maximum(prev_obs, 0)]
+                        new = decay * old + (1 - decay) * jnp.minimum(
+                            ferr, 50.0)
+                        m2 = m2._replace(
+                            p_flow_err=m2.p_flow_err.at[tgt].set(
+                                new, mode="drop"))
                     sel = lambda new, old: jax.tree.map(
                         lambda a, b: jnp.where(v, a, b), new, old)
                     out = (ts2.Tcw, kf_here, ts2.ref_kf)
                     return (sel(m2, m), sel(ts2, ts)), out
 
                 (m, ts), outs = jax.lax.scan(
-                    step, (m, ts), (grays, depths, valid, tstamps),
+                    step, (m, ts),
+                    (frames, valid, tstamps, fwd_uv, fwd_ok, bwd_uv, bwd_ok),
                 )
                 Tcw_seq, kf_flags, refkf_seq = outs
                 if with_crf:
@@ -399,10 +491,17 @@ class SLAMSystem:
                 pad = chunk - take
                 g = jnp.concatenate([g, jnp.repeat(g[-1:], pad, 0)])
                 d = jnp.concatenate([d, jnp.repeat(d[-1:], pad, 0)])
+            gray_prev0 = (
+                self._last_gray if self._last_gray is not None else g[0]
+            )
             m2, ts2, outs = self._scan_chunk_fn(
                 self.map, self.ts, g, d, jnp.asarray(valid),
-                jnp.asarray(tst), allow_kf)
+                jnp.asarray(tst), allow_kf, jnp.asarray(gray_prev0))
             self.map, self.ts = m2, ts2
+            # keep the defense chain's cross-chunk context current (the
+            # per-frame API shares these; mixed-mode callers rely on it)
+            self._last_gray = g[take - 1]
+            self._last_Tcw = ts2.Tcw
             # ONE packed device->host transfer per chunk
             Tcw_np, Twc_np, flags, refkf = jax.device_get(outs)
             poses.append(Tcw_np[:take])
