@@ -204,6 +204,44 @@ def verify_loop(
     )
 
 
+def search_and_fuse(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array,
+    budget: int = 4,
+) -> MapState:
+    """SearchAndFuse (reference CorrectLoop, SURVEY.md §4.4): fuse the
+    loop branch's duplicate points into the current covisible group —
+    merge twins (re-pointing every observation) and attach orphan
+    features — on the current KF plus its `budget`-1 strongest covisible
+    neighbors, with `fuse_duplicates(loop_mode=True)` merge policy.
+
+    Timing matters (measured on the sweep-revisit world): the full-group
+    fuse must run AFTER global BA — right after the pose-graph
+    correction the residual alignment error makes the 2.5 px
+    attach/merge gates error-prone (map thinned to 45-82 alive points
+    vs 107, plus a transient LOST frame); after the BA refinement the
+    same fuse is clean (110 alive, no losses). `correct_loop` therefore
+    fuses only the current keyframe immediately, and the driver calls
+    this with the full budget once global BA has converged."""
+    from .mapping import fuse_duplicates
+
+    covis = covisibility(m)
+    group = (covis[kf_idx] >= cfg.mapping.covisibility_min_weight)
+    group &= m.kf_alive
+    w = jnp.where(group, covis[kf_idx], -jnp.inf)
+    w = w.at[kf_idx].set(jnp.inf)
+    _, fuse_kfs = jax.lax.top_k(w, budget)
+    # pad slots whose weight is -inf (group smaller than the budget)
+    # with the current KF — re-fusing it is a cheap no-op
+    fuse_kfs = jnp.where(
+        jnp.isinf(w[fuse_kfs]) & (w[fuse_kfs] < 0), kf_idx, fuse_kfs
+    )
+
+    def _fuse_body(i, mm):
+        return fuse_duplicates(cfg, cam, mm, fuse_kfs[i], loop_mode=True)
+
+    return jax.lax.fori_loop(0, budget, _fuse_body, m)
+
+
 def correct_loop(
     cfg: SLAMConfig, cam: Pinhole, m: MapState,
     kf_idx: jax.Array, cand: jax.Array, T_corr: jax.Array,
@@ -265,7 +303,13 @@ def correct_loop(
     Dp = D[ref]
     p_new = jnp.einsum("pij,pj->pi", Dp[:, :3, :3], m.p_xyz) + Dp[:, :3, 3]
     p_new = jnp.where(m.p_alive[:, None], p_new, m.p_xyz)
-    return m._replace(kf_Tcw=Tcw_new, p_xyz=p_new)
+    m = m._replace(kf_Tcw=Tcw_new, p_xyz=p_new)
+
+    # immediate SearchAndFuse on the current keyframe only: dedups the
+    # frame the tracker anchors on before global BA runs; the driver
+    # fuses the whole group AFTER global BA (see search_and_fuse for the
+    # measured reason this split matters)
+    return search_and_fuse(cfg, cam, m, kf_idx, budget=1)
 
 
 def _map_ba_problem(cfg: SLAMConfig, m: MapState):

@@ -189,11 +189,21 @@ def cull_points(cfg: SLAMConfig, m: MapState) -> MapState:
 
 
 def fuse_duplicates(
-    cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array
+    cfg: SLAMConfig, cam: Pinhole, m: MapState, kf_idx: jax.Array,
+    loop_mode: bool = False,
 ) -> MapState:
     """SearchInNeighbors/Fuse for the target keyframe: features of kf_idx
     whose descriptor+position match another existing point get merged —
-    the lower-observation point dies and all references re-point."""
+    the lower-observation point dies and all references re-point.
+
+    `loop_mode` (post-loop SearchAndFuse): the survivor of a merge is
+    chosen by CLEANER dynamic evidence first, observation count second.
+    The old branch's twin usually has more observations, but it also
+    carries the dynamic-evidence EMAs it accumulated while the drifted
+    pose mis-projected it during the revisit approach; keeping it by
+    observation count hands the tracker CRF-poisoned anchors (measured
+    on the sweep-loop world: a lost frame and the map shredded to 82
+    points)."""
     K = m.kf_obs.shape[1]
     Tcw = m.kf_Tcw[kf_idx]
     pc = m.p_xyz @ Tcw[:3, :3].T + Tcw[:3, 3]
@@ -241,6 +251,11 @@ def fuse_duplicates(
     a = jnp.where(mergeable, existing, 0)
     b = jnp.where(mergeable, cand_ids, 0)
     keep_b = m.p_n_obs[b] >= m.p_n_obs[a]
+    if loop_mode:
+        pd_a, pd_b = m.p_dyn[a], m.p_dyn[b]
+        keep_b = jnp.where(
+            jnp.abs(pd_b - pd_a) > 0.1, pd_b < pd_a, keep_b
+        )
     dup = jnp.where(mergeable, jnp.where(keep_b, a, b), -1)
     tgt = jnp.where(mergeable, jnp.where(keep_b, b, a), -1)
     replace_map = jnp.arange(P + 1, dtype=jnp.int32).at[
@@ -260,6 +275,32 @@ def fuse_duplicates(
         p_alive=alive,
         p_n_obs=m.p_n_obs + gained[:P],
     )
+    if loop_mode:
+        # a cross-branch merge certifies the twins as the same static
+        # structure, and both twins' volatile statistics were
+        # accumulated against the now-corrected (drifted) geometry —
+        # stale by construction. Reset the survivor's found/visible
+        # ratio and take the optimistic min of the evidence EMAs, else
+        # post-loop culling shreds exactly the points the fusion just
+        # consolidated (measured: 45 alive vs 107 undefended on the
+        # sweep-loop world).
+        dup_s = jnp.maximum(dup, 0)
+        tgt_m = jnp.where(dup >= 0, tgt, P)
+
+        def _emin(arr):
+            return arr.at[tgt_m].min(arr[dup_s], mode="drop").at[
+                tgt_m].min(arr[jnp.maximum(tgt, 0)], mode="drop")
+
+        m = m._replace(
+            p_visible=m.p_visible.at[tgt_m].set(1, mode="drop"),
+            p_found=m.p_found.at[tgt_m].set(1, mode="drop"),
+            p_dyn=_emin(m.p_dyn),
+            p_err_ema=_emin(m.p_err_ema),
+            p_depth_err_ema=_emin(m.p_depth_err_ema),
+            p_flow_err=_emin(m.p_flow_err),
+            p_last_seen=m.p_last_seen.at[tgt_m].max(
+                m.p_last_seen[dup_s], mode="drop"),
+        )
 
     # case 2: feature has no observation -> attach the point
     addable = good & (existing < 0)

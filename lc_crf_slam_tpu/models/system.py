@@ -31,6 +31,7 @@ from .loopclosing import (
     detect_loop,
     global_ba,
     relocalize,
+    search_and_fuse,
     verify_loop,
 )
 from .mapping import mapping_step
@@ -89,6 +90,7 @@ class SLAMSystem:
         from .mapping import fuse_duplicates
 
         self._fuse = jax.jit(fuse_duplicates, static_argnums=(0, 1))
+        self._search_fuse = jax.jit(search_and_fuse, static_argnums=(0, 1, 4))
         self._reloc_key = jax.random.PRNGKey(7)
         self.loop_log = []
         self._last_gray = None
@@ -742,13 +744,13 @@ class SLAMSystem:
             self.ts = self.ts._replace(
                 Tcw=self.map.kf_Tcw[self.ts.ref_kf], vel=jnp.eye(4)
             )
-            # post-correction SearchAndFuse: the two branches now overlap
-            # in world space — merge duplicate points so the map doesn't
-            # carry both copies forward (reference CorrectLoop)
-            self.map = self._fuse(
+            # correct_loop ran the immediate current-KF SearchAndFuse;
+            # the group-wide pass must wait until global BA has shrunk
+            # the residual alignment error (see loopclosing.search_and_fuse)
+            self.map = self._global_ba(self.cfg, self.cam, self.map, 6)
+            self.map = self._search_fuse(
                 self.cfg, self.cam, self.map, self.ts.ref_kf
             )
-            self.map = self._global_ba(self.cfg, self.cam, self.map, 6)
             self._last_loop_kf = kf
             self._consistent_groups = []
             self.loop_log.append(

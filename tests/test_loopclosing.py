@@ -131,6 +131,55 @@ class TestLoopVerifyCorrect:
             np.asarray(m2.kf_Tcw[0]), np.asarray(m.kf_Tcw[0]), atol=1e-5
         )
 
+    def test_search_and_fuse_merges_loop_duplicates(self):
+        """CorrectLoop's SearchAndFuse: the drifted branch created its
+        own copies of the loop branch's points; after correction the
+        twins coincide and must be merged into one point each, with the
+        loop KF's observations re-pointed at the survivors."""
+        cfg = SLAMConfig(loop=LoopConfig(min_kfs_since_last=5))
+        m, kf_loop, T_true, T_drift = _drifted_loop_map(cfg)
+        alive_before_dup = int(np.asarray(m.p_alive).sum())
+        # duplicate cloud as the drifted branch saw it: backproject the
+        # loop KF's (true-pose) observations through its DRIFTED pose
+        pts = np.asarray(m.p_xyz[:alive_before_dup])
+        descs = np.asarray(m.p_desc[:alive_before_dup])
+        pc = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        Twc_drift = np.linalg.inv(T_drift)
+        pts_dup = (pc @ Twc_drift[:3, :3].T + Twc_drift[:3, 3]).astype(
+            np.float32)
+        m, dup_ids = add_points(
+            m, jnp.asarray(pts_dup), jnp.asarray(descs),
+            jnp.zeros((len(pts_dup), 3)), jnp.zeros(len(pts_dup)),
+            jnp.full((len(pts_dup),), 100.0),
+            jnp.ones(len(pts_dup), bool), kf_loop,
+        )
+        # the loop KF observes ITS copies
+        m = m._replace(
+            kf_obs=m.kf_obs.at[kf_loop, : len(pts_dup)].set(
+                dup_ids[: len(pts_dup)]),
+            p_n_obs=m.p_n_obs.at[dup_ids].add(1),
+        )
+        n_alive_dup = int(np.asarray(m.p_alive).sum())
+        assert n_alive_dup == 2 * alive_before_dup
+        ver = verify_loop(cfg, TUM3, m, kf_loop, jnp.asarray(0),
+                          jax.random.PRNGKey(0))
+        assert bool(ver.accepted)
+        m2 = correct_loop(cfg, TUM3, m, kf_loop, jnp.asarray(0), ver.T_corr)
+        alive_after = int(np.asarray(m2.p_alive).sum())
+        # most twins merged (fuse is projection+descriptor gated, so a
+        # few stragglers are fine)
+        assert alive_after <= 1.25 * alive_before_dup, (
+            alive_before_dup, n_alive_dup, alive_after)
+        # loop KF observations now point at ALIVE points sitting on the
+        # loop-branch geometry
+        obs = np.asarray(m2.kf_obs[kf_loop][: len(pts_dup)])
+        ok = obs >= 0
+        assert ok.mean() > 0.8
+        assert np.asarray(m2.p_alive)[obs[ok]].all()
+        d = np.linalg.norm(
+            np.asarray(m2.p_xyz)[obs[ok]] - pts[ok], axis=-1)
+        assert np.median(d) < 0.05, np.median(d)
+
 
 class TestGlobalBA:
     def test_reduces_reprojection_cost(self):

@@ -75,4 +75,8 @@ class TestRenderedLoopClosure:
         gtd = world.bb_gt_dynamic(np.asarray(m.p_xyz), n=N) & alive
         assert gtd.sum() <= 0.08 * max(alive.sum(), 1), (
             int(gtd.sum()), int(alive.sum()))
-        assert alive.sum() >= 80
+        # floor calibrated WITH post-loop group SearchAndFuse active:
+        # cross-branch twins are now merged (measured 73 alive vs ~80
+        # when duplicates survived), so the static map is deduplicated,
+        # not shredded
+        assert alive.sum() >= 55
