@@ -11,15 +11,49 @@ frame) — no host round-trips inside the timed region.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 BASELINE_FPS = 30.0
 N_FRAMES = 30
+
+
+def _accelerator_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the registered accelerator backend in a SUBPROCESS.
+
+    The remote ("axon") TPU tunnel can go away between rounds; when it
+    does, `jax.devices()` hangs indefinitely inside backend init — a
+    hang the driver cannot distinguish from a slow compile. Probing in a
+    killable child lets the bench fall back to CPU and still emit its
+    one JSON line (flagged, so the number is never mistaken for a TPU
+    measurement)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print(d[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0 and "cpu" not in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+_ON_CPU_FALLBACK = False
+if not _accelerator_alive():
+    _ON_CPU_FALLBACK = True
+
+import jax  # noqa: E402
+
+if _ON_CPU_FALLBACK:
+    # must win before any computation: sitecustomize force-registers the
+    # axon backend, and first use would hang on a dead tunnel
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
 
 
 def main():
@@ -134,6 +168,11 @@ def main():
         "full_pipeline_fps": round(full_fps, 2),
         "full_pipeline_vs_baseline": round(full_fps / BASELINE_FPS, 3),
     }
+    if _ON_CPU_FALLBACK:
+        result["note"] = (
+            "accelerator tunnel unreachable at bench time - CPU fallback, "
+            "NOT a TPU measurement"
+        )
     print(json.dumps(result))
     # diagnostics to stderr-ish (driver reads the one stdout JSON line)
     import sys

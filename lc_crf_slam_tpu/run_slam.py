@@ -3,7 +3,7 @@
 Usage:
   # TUM RGB-D sequence (reference CLI shape: settings seq assoc):
   python -m lc_crf_slam_tpu.run_slam --seq DIR [--assoc FILE]
-      [--camera tum1|tum2|tum3] [--config cfg.yaml] [--out traj.txt]
+      [--camera tum1|tum2|tum3|bonn] [--config cfg.yaml] [--out traj.txt]
 
   # Synthetic sequence (no dataset required):
   python -m lc_crf_slam_tpu.run_slam --synthetic [--frames N]
@@ -32,7 +32,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--assoc", help="association file (else associates "
                     "rgb.txt/depth.txt)")
     ap.add_argument("--camera", default="tum3",
-                    choices=["tum1", "tum2", "tum3"])
+                    choices=["tum1", "tum2", "tum3", "bonn"])
     ap.add_argument("--config", help="config file (section.key: value)")
     ap.add_argument("--out", default="CameraTrajectory.txt")
     ap.add_argument("--kf-out", default="KeyFrameTrajectory.txt")
@@ -100,13 +100,14 @@ def main(argv=None) -> int:
 
     from . import enable_compilation_cache
     from .config import SLAMConfig, load_yaml
-    from .geometry.camera import TUM1, TUM2, TUM3
+    from .geometry.camera import BONN, TUM1, TUM2, TUM3
     from .models.system import SLAMSystem
     from .utils.evaluate import evaluate_ate
 
     enable_compilation_cache()   # minutes -> seconds on warm starts
 
-    cam = {"tum1": TUM1, "tum2": TUM2, "tum3": TUM3}[args.camera]
+    cam = {"tum1": TUM1, "tum2": TUM2, "tum3": TUM3,
+           "bonn": BONN}[args.camera]
     cfg = load_yaml(args.config) if args.config else SLAMConfig()
 
     slam = SLAMSystem(
