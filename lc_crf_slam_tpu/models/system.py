@@ -457,20 +457,21 @@ class SLAMSystem:
                                 new, mode="drop"))
                     sel = lambda new, old: jax.tree.map(
                         lambda a, b: jnp.where(v, a, b), new, old)
-                    out = (ts2.Tcw, kf_here, ts2.ref_kf)
+                    out = (ts2.Tcw, kf_here, ts2.ref_kf, ts2.status)
                     return (sel(m2, m), sel(ts2, ts)), out
 
                 (m, ts), outs = jax.lax.scan(
                     step, (m, ts),
                     (frames, valid, tstamps, fwd_uv, fwd_ok, bwd_uv, bwd_ok),
                 )
-                Tcw_seq, kf_flags, refkf_seq = outs
+                Tcw_seq, kf_flags, refkf_seq, status_seq = outs
                 if with_crf:
                     m, _ = crf_step(cfg, m, ts.frame_idx)
                 # camera-to-world poses computed ON DEVICE so the host
                 # needs no per-frame se3_inverse dispatch+fetch
                 Twc_seq = jax.vmap(se3_inverse)(Tcw_seq)
-                return m, ts, (Tcw_seq, Twc_seq, kf_flags, refkf_seq)
+                return m, ts, (Tcw_seq, Twc_seq, kf_flags, refkf_seq,
+                               status_seq)
 
             self._scan_chunk_fn = run_chunk
             self._scan_chunk_len = chunk
@@ -505,7 +506,7 @@ class SLAMSystem:
             self._last_gray = g[take - 1]
             self._last_Tcw = ts2.Tcw
             # ONE packed device->host transfer per chunk
-            Tcw_np, Twc_np, flags, refkf = jax.device_get(outs)
+            Tcw_np, Twc_np, flags, refkf, statuses = jax.device_get(outs)
             poses.append(Tcw_np[:take])
             for k in range(take):
                 self.trajectory.append(
@@ -514,6 +515,33 @@ class SLAMSystem:
                 if flags[k]:
                     self.kf_log.append(
                         (float(timestamps[i + k]), int(refkf[k])))
+            n_lost = int((statuses[:take] == 2).sum())
+            if n_lost:
+                self.stats.append({
+                    "event": "chunk_lost", "t": float(timestamps[j - 1]),
+                    "lost_frames": n_lost,
+                })
+            # relocalization at the chunk boundary (Tracking::
+            # Relocalization): if the chunk ends LOST, re-run the
+            # front-end on its last frame and try the multi-candidate
+            # PnP reloc — without this, throughput mode stays lost
+            # forever (the in-scan step has no reloc branch; rare-path
+            # work belongs on the host, not in the hot program)
+            if (statuses[take - 1] == 2 and int(self.map.n_kfs) >= 2):
+                fr = self._build_frame(
+                    self.cam, self.cfg, g[take - 1], d[take - 1])
+                self._reloc_key, sub = jax.random.split(self._reloc_key)
+                rr = self._relocalize(self.cfg, self.cam, self.map, fr, sub)
+                if bool(rr.accepted):
+                    self.ts = self.ts._replace(
+                        Tcw=rr.Tcw, vel=jnp.eye(4),
+                        status=jnp.asarray(1, jnp.int32),
+                    )
+                    self.stats.append({
+                        "event": "chunk_reloc",
+                        "t": float(timestamps[j - 1]),
+                        "inliers": int(rr.n_inliers),
+                    })
             if flags[:take].any() and self.enable_loop:
                 self._try_close_loop()
             i += take

@@ -123,3 +123,54 @@ class TestTrackingImages:
         gt_t, gt = world.groundtruth()
         ate = evaluate_ate(ts_est, pe, gt_t, gt)
         assert ate.rmse < 0.02, f"ATE {ate}"
+
+    def test_track_sequence_relocalizes_after_blackout(self):
+        """Throughput mode must not stay LOST forever: black frames kill
+        tracking mid-sweep, and the camera then reappears in the START
+        sector — which shares no covisibility with the mid-sweep
+        reference keyframe, so the in-scan ref-KF fallback cannot
+        recover. At the chunk boundary the driver re-runs the front-end
+        on the chunk's last frame and relocalizes via global retrieval
+        (Tracking::Relocalization — rare-path recovery on the host, not
+        in the hot program)."""
+        from lc_crf_slam_tpu.config import TrackingConfig
+        from lc_crf_slam_tpu.geometry.camera import Pinhole
+
+        qvga = Pinhole(fx=268.0, fy=270.0, cx=160.0, cy=120.0,
+                       width=320, height=240, bf=20.0)
+        # 96-frame sweep pacing keeps inter-frame yaw ~2.2 deg (inside
+        # the matcher's capture range); by frame 35 the yaw is ~1.16 rad
+        # > the ~1.08 rad QVGA FOV, so the mid-sweep reference KF shares
+        # nothing with the start sector
+        world = SyntheticWorld(
+            cam=qvga, n_frames=96, n_static=1600, n_dynamic=0, seed=5,
+            trajectory="sweep", pixel_noise=0.0, depth_noise=0.0,
+        )
+        frames = [world.frame(k, render=True) for k in range(36)]
+        grays = [f.image for f in frames]
+        depths = [f.depth_image for f in frames]
+        black = np.zeros_like(grays[0])
+        nodepth = np.zeros_like(depths[0])
+        # sweep out, blackout, teleport back to the start sector
+        # (yaw ~0): only retrieval-based reloc can reconnect
+        seq_g = grays + [black, black] + grays[0:8]
+        seq_d = depths + [nodepth, nodepth] + depths[0:8]
+        ts = np.arange(len(seq_g), dtype=np.float64) / 30.0
+        slam = SLAMSystem(
+            qvga,
+            SLAMConfig(tracking=TrackingConfig(max_frames_between_kf=4)),
+        )
+        slam.track_sequence(
+            np.stack(seq_g).astype(np.float32),
+            np.stack(seq_d).astype(np.float32), ts, chunk=4,
+        )
+        events = [s.get("event") for s in slam.stats]
+        assert "chunk_lost" in events, events
+        assert "chunk_reloc" in events, events
+        assert int(slam.ts.status) == 1
+        # recovered trajectory ends at the revisited frame's ground
+        # truth (final sequence frame = start-sector frame 7)
+        T_true = np.linalg.inv(world.gt_pose_twc(7))
+        err = np.linalg.norm(
+            np.asarray(slam.ts.Tcw)[:3, 3] - T_true[:3, 3])
+        assert err < 0.06, err
