@@ -185,6 +185,10 @@ def cull_points(cfg: SLAMConfig, m: MapState) -> MapState:
     too_few = mature & (m.p_n_obs < cfg.mapping.cull_min_obs)
     dynamic = cfg.crf.enabled & (m.p_dyn > cfg.crf.dynamic_threshold)
     kill = m.p_alive & (bad_ratio | too_few | dynamic)
+    # no tombstoning here: a culled dynamic point's slot keeps its
+    # p_dyn/p_xyz/p_n_obs and continues to serve the keyframe spawn
+    # veto until the allocator actually recycles the slot — at which
+    # moment add_points snapshots it into the tombstone ring
     return m._replace(p_alive=m.p_alive & ~kill)
 
 
@@ -303,7 +307,8 @@ def fuse_duplicates(
         )
 
     # case 2: feature has no observation -> attach the point
-    addable = good & (existing < 0)
+    # (condemned features, -2, stay blocked; see mapstate.add_points)
+    addable = good & (existing == -1)
     # resolve collisions (two points claiming one feature): lowest dist wins
     claim_d = jnp.full((m.kf_obs.shape[1],), 10_000, jnp.int32).at[
         jnp.where(addable, best_f, m.kf_obs.shape[1] - 1)
@@ -315,8 +320,8 @@ def fuse_duplicates(
         jnp.where(win, best_f, K_feat)
     ].set(jnp.where(win, add_pt, -1))[:K_feat]
     row = m.kf_obs[kf_idx]
-    new_row = jnp.where((row < 0) & (claimed >= 0), claimed, row)
-    attached = (row < 0) & (claimed >= 0)
+    new_row = jnp.where((row == -1) & (claimed >= 0), claimed, row)
+    attached = (row == -1) & (claimed >= 0)
     m = m._replace(
         kf_obs=m.kf_obs.at[kf_idx].set(new_row),
         p_n_obs=m.p_n_obs.at[
@@ -391,7 +396,11 @@ def create_new_points(
     uv1 = m.kf_uv[kf_idx]
     desc1 = m.kf_desc[kf_idx]
     lvl1 = m.kf_level[kf_idx]
-    free1 = m.kf_valid[kf_idx] & (m.kf_obs[kf_idx] < 0)
+    # free = never observed (-1); condemned features (-2: their culled
+    # point's slot was recycled, see mapstate.add_points) stay blocked —
+    # a rigid mover's features would otherwise re-triangulate
+    # consistently between keyframes and re-ingest the mover
+    free1 = m.kf_valid[kf_idx] & (m.kf_obs[kf_idx] == -1)
     T1 = m.kf_Tcw[kf_idx]
     Twc1 = se3_inverse(T1)
     c1 = Twc1[:3, 3]
@@ -401,7 +410,7 @@ def create_new_points(
         ok_nb = nbr_ok_all[n]
         uv2 = m.kf_uv[nb]
         desc2 = m.kf_desc[nb]
-        free2 = m.kf_valid[nb] & (m.kf_obs[nb] < 0)
+        free2 = m.kf_valid[nb] & (m.kf_obs[nb] == -1)
         T2 = m.kf_Tcw[nb]
         # baseline check (reference: skip if baseline too small vs depth)
         c2 = se3_inverse(T2)[:3, 3]
@@ -430,7 +439,8 @@ def create_new_points(
         max_d = dist_c * cfg.orb.scale_factor ** lvl1.astype(jnp.float32)
         min_d = max_d / cfg.orb.scale_factor ** (cfg.orb.n_levels - 1)
         m, new_ids = add_points(
-            m, tri.xyz, desc1, normal, min_d, max_d, create, kf_idx
+            m, tri.xyz, desc1, normal, min_d, max_d, create, kf_idx,
+            tomb_dyn_threshold=cfg.crf.dynamic_threshold,
         )
         got = new_ids >= 0
         # record observations in both keyframes
@@ -446,7 +456,7 @@ def create_new_points(
                 jnp.where(got, new_ids, m.capacity_points)
             ].add(1, mode="drop"),
         )
-        free1 = m.kf_valid[kf_idx] & (m.kf_obs[kf_idx] < 0)
+        free1 = m.kf_valid[kf_idx] & (m.kf_obs[kf_idx] == -1)
     return m
 
 

@@ -23,6 +23,9 @@ from ..config import SLAMConfig
 from .frame import Frame
 
 
+TOMB_CAP = 512            # dynamic-tombstone ring capacity
+
+
 class MapState(NamedTuple):
     # --- points (capacity P) ---
     p_xyz: jax.Array        # (P, 3) world position
@@ -53,8 +56,18 @@ class MapState(NamedTuple):
     kf_valid: jax.Array     # (F, K) bool
     kf_obs: jax.Array       # (F, K) int32 point id per feature (-1 = none)
     kf_emb: jax.Array       # (F, 256) float32 retrieval embedding
+    # --- dynamic tombstones (ring buffer, capacity D) ---
+    # positions of recycled slots that were still serving the dynamic
+    # spawn veto. The veto's envelope must outlive the points (a mover
+    # is re-ingested every KF otherwise); culled slots keep serving it
+    # in place until the allocator reuses them, at which moment
+    # add_points snapshots them here. Ring overwrite is the aging
+    # policy.
+    tomb_xyz: jax.Array     # (D, 3) float32
+    tomb_valid: jax.Array   # (D,) bool
+    tomb_n: jax.Array       # () int32 ring cursor (total ever)
     # --- counters ---
-    n_points: jax.Array     # () int32 allocation cursor
+    n_points: jax.Array     # () int32 high-water allocation mark
     n_kfs: jax.Array        # () int32
 
     @property
@@ -99,6 +112,9 @@ def empty_map(cfg: SLAMConfig) -> MapState:
         kf_valid=jnp.zeros((F, K), bool),
         kf_obs=jnp.full((F, K), -1, i32),
         kf_emb=jnp.zeros((F, 256), f32),
+        tomb_xyz=jnp.zeros((TOMB_CAP, 3), f32),
+        tomb_valid=jnp.zeros((TOMB_CAP,), bool),
+        tomb_n=jnp.asarray(0, i32),
         n_points=jnp.asarray(0, i32),
         n_kfs=jnp.asarray(0, i32),
     )
@@ -170,15 +186,67 @@ def add_points(
     max_dist: jax.Array,   # (M,)
     create: jax.Array,     # (M,) bool — which rows actually allocate
     owner_kf: jax.Array,   # () int32
+    tomb_dyn_threshold: float = 0.5,
 ) -> Tuple[MapState, jax.Array]:
     """Allocate up to M new points; returns per-row new ids (-1 where not
     created or out of capacity). Allocation is compacted so invalid rows
-    don't burn capacity."""
+    don't burn capacity, and it REUSES dead slots (lowest index first):
+    culled and fused-away points return their slots to the allocator, so
+    a long run is bounded by the LIVE map size, not by total points ever
+    created (the reference's heap allocation has the same property;
+    MapPoint.cc SetBadFlag frees the object). Safe because fusion
+    remaps references and culling's stale references are condemned
+    below at the moment their slot is reallocated, so no keyframe
+    observation can alias a recycled slot."""
     M = xyz.shape[0]
     order = jnp.cumsum(create.astype(jnp.int32)) - 1  # slot within batch
-    ids = jnp.where(create, m.n_points + order, -1)
-    ids = jnp.where(ids < m.capacity_points, ids, -1)
+    # allocation order: VIRGIN slots (beyond the high-water mark) in
+    # index order first, then culled dead slots, then nothing. Culled
+    # slots are only recycled under real capacity pressure: their stale
+    # keyframe refs carry covisibility weight and block their features
+    # (reference parity — a bad MapPoint's memory lives on until the
+    # allocator actually needs it), so eager reuse measurably shrinks
+    # and degrades the map (billboard world: 124 -> 88 alive points).
+    idx = jnp.arange(m.capacity_points, dtype=jnp.int32)
+    virgin = ~m.p_alive & (idx >= m.n_points)
+    key = jnp.where(virgin, 0, jnp.where(m.p_alive, 2, 1))
+    free = jnp.argsort(key, stable=True)
+    n_free = m.capacity_points - jnp.sum(m.p_alive.astype(jnp.int32))
+    ok = create & (order < n_free)
+    ids = jnp.where(ok, free[jnp.where(ok, order, 0)], -1)
     tgt = jnp.where(ids >= 0, ids, m.capacity_points)  # drop mode target
+    # LAZY reference scrub: keyframe observations referencing a culled
+    # point stay in place until its slot is actually recycled (they
+    # contribute covisibility weight and keep the feature blocked from
+    # re-triangulation, exactly like the reference's not-yet-erased
+    # bad-point observations). Here — the moment of reuse — any ref to
+    # a slot being reallocated is condemned to -2 so it can never alias
+    # the new point; -2 keeps the feature blocked (see create_new_points
+    # free-feature test and fuse's attach path).
+    recycled = jnp.zeros((m.capacity_points + 1,), bool).at[tgt].set(
+        True, mode="drop"
+    )[:-1]
+    stale = (m.kf_obs >= 0) & recycled[jnp.maximum(m.kf_obs, 0)]
+    m = m._replace(kf_obs=jnp.where(stale, -2, m.kf_obs))
+    # tombstone the recycled slots that were still serving the dynamic
+    # spawn veto — (p_dyn > th) & (p_n_obs > 0), the exact predicate
+    # near_dynamic_envelope applies to live slots — so the veto's
+    # coverage is unchanged by recycling. Recording at cull time
+    # instead was measured to OVER-veto: BA pruning drives most mover
+    # points to p_n_obs == 0 before culling, and keeping those in the
+    # envelope blankets the mover's whole swept path, starving static
+    # spawns nearby (billboard world: 124 -> 102 alive).
+    was_veto = (
+        recycled & (m.p_dyn > tomb_dyn_threshold) & (m.p_n_obs > 0)
+    )
+    D = m.tomb_xyz.shape[0]
+    t_order = jnp.cumsum(was_veto.astype(jnp.int32)) - 1
+    t_pos = jnp.where(was_veto, (m.tomb_n + t_order) % D, D)
+    m = m._replace(
+        tomb_xyz=m.tomb_xyz.at[t_pos].set(m.p_xyz, mode="drop"),
+        tomb_valid=m.tomb_valid.at[t_pos].set(True, mode="drop"),
+        tomb_n=m.tomb_n + jnp.sum(was_veto.astype(jnp.int32)),
+    )
     m = m._replace(
         p_xyz=m.p_xyz.at[tgt].set(xyz, mode="drop"),
         p_desc=m.p_desc.at[tgt].set(desc, mode="drop"),
@@ -197,12 +265,57 @@ def add_points(
             jnp.asarray(0, jnp.int32), mode="drop"
         ),
         p_alive=m.p_alive.at[tgt].set(True, mode="drop"),
-        n_points=jnp.minimum(
-            m.n_points + jnp.sum(create.astype(jnp.int32)),
-            m.capacity_points,
+        # high-water allocation mark: max slot index ever used + 1
+        # (kept monotone so `p_xyz[:n_points]` still covers every slot
+        # that was ever written; live count = sum(p_alive))
+        n_points=jnp.maximum(
+            m.n_points, jnp.max(jnp.where(ids >= 0, ids + 1, 0))
         ),
     )
     return m, ids
+
+
+def scrub_dead_obs(m: MapState) -> MapState:
+    """Condemn (-2) every keyframe observation referencing a dead slot.
+
+    NOT called in the live pipeline — there, stale refs to culled
+    points intentionally persist (covisibility weight + feature
+    blocking, reference parity) and are condemned lazily by
+    `add_points` at slot-recycle time. This eager variant is a test /
+    maintenance utility: after it, kf_obs never indexes a dead slot.
+
+    The sentinel is -2, NOT -1: a culled point's features must stay
+    BLOCKED from re-triangulation and re-attachment (`== -1` is the
+    free-feature test). A rigid mover's features triangulate
+    consistently between two keyframes — setting them free would
+    re-ingest the mover every mapping pass (measured: defended ATE
+    0.006 -> 0.033 on the billboard world)."""
+    ref = m.kf_obs
+    dead_ref = (ref >= 0) & ~m.p_alive[jnp.maximum(ref, 0)]
+    return m._replace(kf_obs=jnp.where(dead_ref, -2, ref))
+
+
+def near_dynamic_envelope(
+    m: MapState, xyz: jax.Array, dyn_threshold: float, sigma: float,
+) -> jax.Array:
+    """(Q,) bool: query positions within `sigma` of the dynamic
+    envelope — slots labeled dynamic that are still OBSERVED
+    ((p_dyn > th) & (p_n_obs > 0); alive or culled-but-not-recycled),
+    plus the tombstone ring of recycled ones. The n_obs > 0 filter is
+    load-bearing: BA pruning drives most mover points to zero
+    observations, and including them blankets the mover's swept path,
+    vetoing true statics (measured 124 -> 102 alive points). The spawn
+    path uses this so a moving object is not re-ingested every
+    keyframe (SURVEY.md §4.5: labels gate map growth)."""
+    dyn_sel = (m.p_dyn > dyn_threshold) & (m.p_n_obs > 0)
+    _, dyn_ids = jax.lax.top_k(dyn_sel.astype(jnp.float32), 512)
+    dyn_ok = dyn_sel[dyn_ids]
+    d2 = jnp.sum((xyz[:, None, :] - m.p_xyz[dyn_ids][None, :, :]) ** 2,
+                 axis=-1)
+    near = jnp.any((d2 <= sigma * sigma) & dyn_ok[None, :], axis=1)
+    d2t = jnp.sum((xyz[:, None, :] - m.tomb_xyz[None, :, :]) ** 2, axis=-1)
+    near |= jnp.any((d2t <= sigma * sigma) & m.tomb_valid[None, :], axis=1)
+    return near
 
 
 def incidence_matrix(m: MapState) -> jax.Array:

@@ -221,6 +221,7 @@ class SLAMSystem:
         self.map, ids = add_points(
             self.map, res.xyz, ref.desc, normal, min_d, max_d, res.ok,
             jnp.asarray(0),
+            tomb_dyn_threshold=self.cfg.crf.dynamic_threshold,
         )
         self.map, kf0 = add_keyframe(
             self.map, ref, jnp.eye(4), jnp.asarray(t_ref), ids,
@@ -707,7 +708,13 @@ class SLAMSystem:
             return
         n_kf, n_pt = int(self.map.n_kfs), int(self.map.n_points)
         full_kf = n_kf >= self.cfg.map.max_keyframes
-        full_pt = n_pt >= self.cfg.map.max_points
+        # n_points is a high-water mark; point slots are recycled after
+        # culling (mapstate.add_points), so only check the live count —
+        # and only once the high-water mark says saturation is possible
+        full_pt = False
+        if n_pt >= self.cfg.map.max_points:
+            n_alive = int(jnp.sum(self.map.p_alive))
+            full_pt = n_alive >= self.cfg.map.max_points
         if full_kf or full_pt:
             import sys
 
@@ -715,7 +722,8 @@ class SLAMSystem:
             msg = (
                 f"lc_crf_slam_tpu: {what} capacity reached "
                 f"(kfs={n_kf}/{self.cfg.map.max_keyframes}, "
-                f"points={n_pt}/{self.cfg.map.max_points}); new "
+                f"live points {'saturated' if full_pt else 'ok'}/"
+                f"{self.cfg.map.max_points}); new "
                 f"insertions will be dropped — raise MapConfig capacities"
             )
             print(msg, file=sys.stderr)

@@ -32,7 +32,9 @@ from ..ops.match import (
 )
 from .ba import pose_consensus, pose_optimize
 from .frame import Frame
-from .mapstate import MapState, add_keyframe, add_points
+from .mapstate import (
+    MapState, add_keyframe, add_points, near_dynamic_envelope,
+)
 
 LOCAL_POINTS = 4096  # fixed capacity of the tracked local-map window
 
@@ -132,7 +134,8 @@ def initialize_map(
         cfg.orb.n_levels, cfg.orb.scale_factor,
     )
     m, ids = add_points(
-        m, pw, frame.desc, normal, min_d, max_d, create, jnp.asarray(0)
+        m, pw, frame.desc, normal, min_d, max_d, create, jnp.asarray(0),
+        tomb_dyn_threshold=cfg.crf.dynamic_threshold,
     )
     m, kf_idx = add_keyframe(m, frame, Tcw, timestamp, ids)
     ts = empty_track_state(cfg)._replace(
@@ -564,20 +567,14 @@ def insert_keyframe(
     if flow_dyn is not None:
         cand &= ~flow_dyn
     # [CRF] dynamic-region veto: do not spawn points inside the spatial
-    # envelope of dynamic-labeled tracks (alive or culled) — otherwise the
-    # moving object is re-ingested every keyframe (SURVEY.md §4.5: labels
-    # gate map growth)
+    # envelope of dynamic-labeled tracks — otherwise the moving object
+    # is re-ingested every keyframe (SURVEY.md §4.5: labels gate map
+    # growth). Culled dynamics contribute via the tombstone ring (their
+    # live slots are recycled; mapstate.MapState.tomb_xyz).
     pw_cand = _unproject_world(cam, se3_inverse(ts.Tcw), frame.uv, frame.depth)
-    dyn_sel = (m.p_dyn > cfg.crf.dynamic_threshold) & (m.p_n_obs > 0)
-    _, dyn_ids = jax.lax.top_k(dyn_sel.astype(jnp.float32), 512)
-    dyn_ok = dyn_sel[dyn_ids]
-    d2 = jnp.sum(
-        (pw_cand[:, None, :] - m.p_xyz[dyn_ids][None, :, :]) ** 2, axis=-1
+    cand &= ~near_dynamic_envelope(
+        m, pw_cand, cfg.crf.dynamic_threshold, cfg.crf.spatial_sigma
     )
-    near_dyn = jnp.any(
-        (d2 <= cfg.crf.spatial_sigma**2) & dyn_ok[None, :], axis=1
-    )
-    cand &= ~near_dyn
     # grid-stratified nearest-first cap: within each image cell only the
     # `spawn_cell_quota` nearest candidates survive, then the global
     # nearest-first budget applies. Pure depth-sorted creation (the
@@ -619,7 +616,8 @@ def insert_keyframe(
         dist, frame.level, cfg.orb.n_levels, cfg.orb.scale_factor
     )
     m, new_ids = add_points(
-        m, pw, frame.desc, normal, min_d, max_d, create, ts.ref_kf + 1
+        m, pw, frame.desc, normal, min_d, max_d, create, ts.ref_kf + 1,
+        tomb_dyn_threshold=cfg.crf.dynamic_threshold,
     )
     m = m._replace(
         p_last_seen=m.p_last_seen.at[

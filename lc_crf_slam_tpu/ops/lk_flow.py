@@ -72,16 +72,20 @@ def _track_level(
         tmpl = T1[1:-1, 1:-1]
         gx = (T1[1:-1, 2:] - T1[1:-1, :-2]) * 0.5
         gy = (T1[2:, 1:-1] - T1[:-2, 1:-1]) * 0.5
-        G = jnp.asarray(
-            [[jnp.sum(gx * gx), jnp.sum(gx * gy)],
-             [jnp.sum(gx * gy), jnp.sum(gy * gy)]]
-        ) + 1e-3 * jnp.eye(2)
+        gxx = jnp.sum(gx * gx) + 1e-3
+        gxy = jnp.sum(gx * gy)
+        gyy = jnp.sum(gy * gy) + 1e-3
+        # G is constant over the GN iterations (gradients come from the
+        # template); invert the 2x2 once, closed form — batched LU
+        # inside the loop costs ~10x on TPU for nothing
+        det = jnp.maximum(gxx * gyy - gxy * gxy, 1e-9)
+        Ginv = jnp.asarray([[gyy, -gxy], [-gxy, gxx]]) / det
 
         def body(_, p):
             cur = _bilinear_patch(next_p, clampxy(p), r, pad)
             diff = cur - tmpl
             b = jnp.asarray([jnp.sum(diff * gx), jnp.sum(diff * gy)])
-            return p - jnp.linalg.solve(G, b)
+            return p - Ginv @ b
 
         p = jax.lax.fori_loop(0, iters, body, kp_guess)
         final = _bilinear_patch(next_p, clampxy(p), r, pad)
