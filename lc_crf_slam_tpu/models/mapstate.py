@@ -308,7 +308,8 @@ def near_dynamic_envelope(
     path uses this so a moving object is not re-ingested every
     keyframe (SURVEY.md §4.5: labels gate map growth)."""
     dyn_sel = (m.p_dyn > dyn_threshold) & (m.p_n_obs > 0)
-    _, dyn_ids = jax.lax.top_k(dyn_sel.astype(jnp.float32), 512)
+    k = min(512, m.capacity_points)
+    _, dyn_ids = jax.lax.top_k(dyn_sel.astype(jnp.float32), k)
     dyn_ok = dyn_sel[dyn_ids]
     d2 = jnp.sum((xyz[:, None, :] - m.p_xyz[dyn_ids][None, :, :]) ** 2,
                  axis=-1)

@@ -95,6 +95,35 @@ class TestSlotReuse:
         # the old observation of dead point 1 is condemned, not aliased
         assert list(np.asarray(m.kf_obs[0])) == [0, -2, 2, -1]
 
+    def test_recycle_tombstones_preserve_spawn_veto(self):
+        """A culled dynamic point serves the spawn veto in place
+        ((p_dyn>th)&(n_obs>0) reads dead slots); when its slot is
+        recycled, the veto coverage must survive via the tombstone
+        ring."""
+        from lc_crf_slam_tpu.models.mapstate import near_dynamic_envelope
+
+        cfg = SLAMConfig(map=MapConfig(max_points=2, max_keyframes=4,
+                                       max_features=4))
+        m = empty_map(cfg)
+        m, _ = _mk(m, 2)
+        mover_pos = jnp.asarray([[3.0, 4.0, 5.0]])   # slot 1's position
+        # label slot 1 dynamic with a live observation, then cull it
+        m = m._replace(
+            p_dyn=m.p_dyn.at[1].set(0.9),
+            p_n_obs=m.p_n_obs.at[1].set(1),
+            p_alive=m.p_alive.at[1].set(False),
+        )
+        # dead slot still vetoes in place
+        assert bool(near_dynamic_envelope(m, mover_pos, 0.5, 0.3)[0])
+        # recycle slot 1 (capacity 2, no virgins left)
+        m2, ids = _mk(m, 1)
+        assert int(ids[0]) == 1
+        # slot stats are overwritten (new point is NOT dynamic) ...
+        assert float(m2.p_dyn[1]) == 0.0
+        # ... but the envelope survives via the tombstone ring
+        assert bool(m2.tomb_valid[0])
+        assert bool(near_dynamic_envelope(m2, mover_pos, 0.5, 0.3)[0])
+
 
 class TestLongRunChurn:
     def test_allocation_survives_saturation(self):
