@@ -47,6 +47,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--render", action="store_true",
                     help="synthetic: run the full image front-end instead "
                     "of direct observations")
+    ap.add_argument("--mono", action="store_true",
+                    help="monocular mode (mono_tum equivalent): ignore "
+                    "depth, bootstrap via two-view initialization")
     ap.add_argument("--no-crf", action="store_true")
     ap.add_argument("--no-mapping", action="store_true")
     ap.add_argument("--no-loop", action="store_true")
@@ -139,7 +142,11 @@ def main(argv=None) -> int:
             n_dynamic=args.dynamic,
         )
         n = min(args.max_frames or args.frames, args.frames)
-        if args.throughput and args.render:
+        if args.mono:
+            for k in range(n):
+                f = world.frame(k, render=True)
+                slam.track_monocular(f.image, f.timestamp)
+        elif args.throughput and args.render:
             import numpy as np
 
             fs = [world.frame(k, render=True) for k in range(n)]
@@ -179,7 +186,12 @@ def main(argv=None) -> int:
                 cfg.tracking.depth_map_factor,
             )
             print("using native prefetching loader", file=sys.stderr)
-            if args.throughput:
+            if args.mono:
+                for k, (t, gray, _depth) in enumerate(loader):
+                    slam.track_monocular(gray, t)
+                    if k % 50 == 0:
+                        print(f"frame {k}/{n}", file=sys.stderr)
+            elif args.throughput:
                 _run_throughput_stream(slam, loader, n, args.chunk)
             else:
                 for k, (t, gray, depth) in enumerate(loader):
@@ -188,7 +200,13 @@ def main(argv=None) -> int:
                         print(f"frame {k}/{n}", file=sys.stderr)
             loader.close()
         else:
-            if args.throughput:
+            if args.mono:
+                for k in range(n):
+                    t, gray, _depth = seq[k]
+                    slam.track_monocular(gray, t)
+                    if k % 50 == 0:
+                        print(f"frame {k}/{n}", file=sys.stderr)
+            elif args.throughput:
                 _run_throughput_stream(
                     slam, (seq[k] for k in range(n)), n, args.chunk)
             else:
@@ -231,7 +249,10 @@ def main(argv=None) -> int:
         ),
     }
     if gt is not None:
-        ate = evaluate_ate(ts_est, poses_est, gt[0], gt[1])
+        # monocular estimates are up-to-scale: align with Umeyama scale
+        # (the TUM protocol's mono convention)
+        ate = evaluate_ate(ts_est, poses_est, gt[0], gt[1],
+                           with_scale=args.mono)
         summary["ate_rmse_m"] = round(ate.rmse, 4)
         summary["ate_median_m"] = round(ate.median, 4)
     if args.viz:
