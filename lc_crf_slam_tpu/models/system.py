@@ -62,7 +62,15 @@ class SLAMSystem:
             self.cfg.crf.enabled if enable_crf is None else enable_crf
         )
         self.initialized = False
-        self.trajectory: List[tuple] = []   # (t, Twc 4x4 np)
+        # Per-frame trajectory stored RELATIVE to the frame's reference
+        # keyframe — (t, Tcr 4x4, ref_kf) with Tcw_frame = Tcr @ Tcw_ref —
+        # mirroring System::SaveTrajectoryTUM (reference src/System.cc):
+        # composing with the CURRENT keyframe pose at save time means
+        # loop-closure / global-BA corrections retroactively fix every
+        # exported frame, not just keyframes. ref_kf = -1 ⇒ absolute
+        # (pre-initialization frames). Entries may hold device arrays;
+        # they resolve lazily in get_trajectory().
+        self.trajectory: List[tuple] = []   # (t, Tcr 4x4, ref_kf)
         self.kf_log: List[tuple] = []       # (t, kf_idx)
         self.stats: List[dict] = []
         self.timer = StageTimer()
@@ -190,7 +198,7 @@ class SLAMSystem:
         if getattr(self, "_mono_ref", None) is None:
             if int(frame.valid.sum()) > 100:
                 self._mono_ref = (frame, timestamp)
-            self.trajectory.append((timestamp, np.eye(4)))
+            self.trajectory.append((timestamp, np.eye(4), -1))
             self.stats.append({"t": timestamp, "event": "mono_wait"})
             return np.eye(4)
         ref, t_ref = self._mono_ref
@@ -207,7 +215,7 @@ class SLAMSystem:
             # reference resets the reference frame if init keeps failing
             if int(mm.valid.sum()) < 100:
                 self._mono_ref = (frame, timestamp)
-            self.trajectory.append((timestamp, np.eye(4)))
+            self.trajectory.append((timestamp, np.eye(4), -1))
             self.stats.append({"t": timestamp, "event": "mono_init_fail"})
             return np.eye(4)
         # build the initial map: KF(ref)=I, KF(cur)=Tcw2, triangulated pts
@@ -245,8 +253,8 @@ class SLAMSystem:
         self.ts = ts
         self.initialized = True
         self._mono_ref = None
-        Twc = np.asarray(se3_inverse(res.Tcw2))
-        self.trajectory.append((timestamp, Twc))
+        # the init frame IS keyframe kf1 → identity relative pose
+        self.trajectory.append((timestamp, np.eye(4), kf1))
         self.stats.append({
             "t": timestamp, "event": "mono_init",
             "n_points": int(self.map.n_points),
@@ -458,20 +466,21 @@ class SLAMSystem:
                                 new, mode="drop"))
                     sel = lambda new, old: jax.tree.map(
                         lambda a, b: jnp.where(v, a, b), new, old)
-                    out = (ts2.Tcw, kf_here, ts2.ref_kf, ts2.status)
+                    # frame pose relative to its reference KF at track
+                    # time (SaveTrajectoryTUM semantics — composed with
+                    # the corrected KF pose at export)
+                    Tcr = ts2.Tcw @ se3_inverse(m2.kf_Tcw[ts2.ref_kf])
+                    out = (ts2.Tcw, Tcr, kf_here, ts2.ref_kf, ts2.status)
                     return (sel(m2, m), sel(ts2, ts)), out
 
                 (m, ts), outs = jax.lax.scan(
                     step, (m, ts),
                     (frames, valid, tstamps, fwd_uv, fwd_ok, bwd_uv, bwd_ok),
                 )
-                Tcw_seq, kf_flags, refkf_seq, status_seq = outs
+                Tcw_seq, Tcr_seq, kf_flags, refkf_seq, status_seq = outs
                 if with_crf:
                     m, _ = crf_step(cfg, m, ts.frame_idx)
-                # camera-to-world poses computed ON DEVICE so the host
-                # needs no per-frame se3_inverse dispatch+fetch
-                Twc_seq = jax.vmap(se3_inverse)(Tcw_seq)
-                return m, ts, (Tcw_seq, Twc_seq, kf_flags, refkf_seq,
+                return m, ts, (Tcw_seq, Tcr_seq, kf_flags, refkf_seq,
                                status_seq)
 
             self._scan_chunk_fn = run_chunk
@@ -507,11 +516,11 @@ class SLAMSystem:
             self._last_gray = g[take - 1]
             self._last_Tcw = ts2.Tcw
             # ONE packed device->host transfer per chunk
-            Tcw_np, Twc_np, flags, refkf, statuses = jax.device_get(outs)
+            Tcw_np, Tcr_np, flags, refkf, statuses = jax.device_get(outs)
             poses.append(Tcw_np[:take])
             for k in range(take):
                 self.trajectory.append(
-                    (float(timestamps[i + k]), Twc_np[k])
+                    (float(timestamps[i + k]), Tcr_np[k], int(refkf[k]))
                 )
                 if flags[k]:
                     self.kf_log.append(
@@ -666,7 +675,11 @@ class SLAMSystem:
         # overlap the host's next-frame preparation (SURVEY.md §3.4's
         # pipeline parallelism as dispatch overlap)
         Tcw = self.ts.Tcw
-        self.trajectory.append((timestamp, se3_inverse(Tcw)))
+        self.trajectory.append((
+            timestamp,
+            Tcw @ se3_inverse(self.map.kf_Tcw[self.ts.ref_kf]),
+            self.ts.ref_kf,
+        ))
         rec = {
             "t": timestamp,
             "ms": (time.perf_counter() - t0) * 1e3,
@@ -796,8 +809,26 @@ class SLAMSystem:
 
     # ----------------------------------------------------------- trajectory
     def get_trajectory(self):
-        ts = np.array([t for t, _ in self.trajectory])
-        poses = np.stack([T for _, T in self.trajectory])
+        """Per-frame (timestamps, Twc) with loop corrections applied.
+
+        Composes each stored relative pose with its reference keyframe's
+        CURRENT pose (System::SaveTrajectoryTUM in the reference): frames
+        tracked before a loop closure / global BA inherit the corrected
+        keyframe poses rather than their drifted track-time estimates."""
+        if not self.trajectory:
+            return np.zeros((0,)), np.zeros((0, 4, 4))
+        ts = np.array([t for t, _, _ in self.trajectory])
+        resolved = jax.device_get(
+            [(T, r) for _, T, r in self.trajectory])
+        kf_Tcw_now = np.asarray(self.map.kf_Tcw)
+        poses = np.empty((len(resolved), 4, 4))
+        for k, (Tcr, r) in enumerate(resolved):
+            r = int(r)
+            Tcw = np.asarray(Tcr) @ (kf_Tcw_now[r] if r >= 0 else np.eye(4))
+            R, t = Tcw[:3, :3], Tcw[:3, 3]
+            poses[k, :3, :3] = R.T
+            poses[k, :3, 3] = -R.T @ t
+            poses[k, 3] = (0.0, 0.0, 0.0, 1.0)
         return ts, poses
 
     def save_trajectory_tum(self, path: str) -> None:

@@ -122,9 +122,12 @@ def main(argv=None) -> int:
     if args.resume:
         from .utils.checkpoint import load_checkpoint
 
-        slam.map, slam.ts, _ = load_checkpoint(args.resume)
+        slam.map, slam.ts, meta = load_checkpoint(args.resume)
         slam.initialized = True
-        print(f"resumed from {args.resume}", file=sys.stderr)
+        slam.trajectory = meta.get("trajectory", [])
+        slam.kf_log = meta.get("kf_log", [])
+        print(f"resumed from {args.resume} "
+              f"({len(slam.trajectory)} prior frames)", file=sys.stderr)
 
     gt = None
     profile_cm = None
@@ -263,7 +266,9 @@ def main(argv=None) -> int:
     if args.checkpoint:
         from .utils.checkpoint import save_checkpoint
 
-        save_checkpoint(args.checkpoint, slam.map, slam.ts)
+        slam.flush_stats()   # resolve device-held kf_log indices
+        save_checkpoint(args.checkpoint, slam.map, slam.ts,
+                        trajectory=slam.trajectory, kf_log=slam.kf_log)
     print(json.dumps(summary))
     slam.shutdown()
     return 0

@@ -68,6 +68,33 @@ class TestCheckpoint:
         for a, b in zip(m, m2):
             assert np.asarray(a).shape == np.asarray(b).shape
 
+    def test_trajectory_roundtrip(self, tmp_path):
+        """Resume must restore the per-frame trajectory log so the final
+        export covers pre-checkpoint frames (reference has no analog —
+        SURVEY.md §6.4 upgrade)."""
+        from lc_crf_slam_tpu.models.mapstate import empty_map
+        from lc_crf_slam_tpu.models.tracking import empty_track_state
+        from lc_crf_slam_tpu.utils.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        cfg = SLAMConfig()
+        m = empty_map(cfg)
+        ts = empty_track_state(cfg)
+        Tcr = np.eye(4)
+        Tcr[:3, 3] = [0.1, 0.2, 0.3]
+        traj = [(0.0, np.eye(4), 0), (0.5, Tcr, 1)]
+        kf_log = [(0.0, 0), (0.5, 1)]
+        path = str(tmp_path / "c.npz")
+        save_checkpoint(path, m, ts, trajectory=traj, kf_log=kf_log)
+        _, _, meta = load_checkpoint(path)
+        assert len(meta["trajectory"]) == 2
+        t1, T1, r1 = meta["trajectory"][1]
+        assert t1 == 0.5 and r1 == 1
+        np.testing.assert_allclose(T1, Tcr)
+        assert meta["kf_log"] == [(0.0, 0), (0.5, 1)]
+
 
 class TestStereo:
     def test_matches_give_correct_depth(self):

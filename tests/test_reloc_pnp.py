@@ -110,7 +110,7 @@ class TestTrackRefKFFallback:
         rec = slam.stats[-1]
         assert rec["status"] == 1, rec
         T_gt = np.linalg.inv(world.gt_pose_twc(27))
-        Tcw = np.linalg.inv(slam.trajectory[-1][1])
+        Tcw = np.linalg.inv(slam.get_trajectory()[1][-1])
         err = np.linalg.norm(Tcw[:3, 3] - T_gt[:3, 3])
         assert err < 0.05, (err, rec)
 

@@ -71,6 +71,34 @@ class TestTrackingObservations:
         ts, poses = read_trajectory_tum(p1)
         assert len(ts) == 10 and poses.shape == (10, 4, 4)
 
+    def test_trajectory_tracks_corrected_keyframes(self):
+        """SaveTrajectoryTUM semantics (reference src/System.cc): frame
+        poses are stored relative to their reference keyframe, so a
+        post-hoc keyframe correction (loop closure / global BA) must
+        retroactively move every exported frame that referenced it."""
+        import jax.numpy as jnp
+
+        world = SyntheticWorld(
+            cam=TUM3, n_frames=12, n_static=500, n_dynamic=0, seed=6
+        )
+        slam, _ = run_observation_slam(world)
+        ts0, before = slam.get_trajectory()
+        # rigidly shift every keyframe by a known world-frame delta
+        # (what a loop correction does to the drifted segment)
+        delta = np.eye(4)
+        delta[:3, 3] = [0.5, -0.2, 0.1]
+        T_corr = jnp.asarray(np.linalg.inv(delta))   # Tcw' = Tcw @ delta^-1
+        slam.map = slam.map._replace(
+            kf_Tcw=jnp.einsum("kij,jl->kil", slam.map.kf_Tcw, T_corr)
+        )
+        ts1, after = slam.get_trajectory()
+        assert np.allclose(ts0, ts1)
+        # every frame's Twc must have moved by exactly delta
+        expect = np.einsum("ij,kjl->kil", delta, before)
+        assert np.allclose(after, expect, atol=1e-5), (
+            np.abs(after - expect).max()
+        )
+
     def test_reset(self):
         world = SyntheticWorld(cam=TUM3, n_frames=5, n_static=300, n_dynamic=0)
         slam, _ = run_observation_slam(world, n=5)
