@@ -146,18 +146,26 @@ def main():
     # Python re-tracing of a fresh SLAMSystem
     slam = SLAMSystem(cam, cfg, enable_crf=True, enable_mapping=True)
 
-    def full_run():
+    def full_run(phases=None):
         slam.reset()
+        slam.seq_phases = phases    # per-phase breakdown (stderr tail)
         t0 = time.perf_counter()
         # chunk=15: 2 device programs for the 30-frame run — amortizes
         # the per-chunk dispatch/fetch and scan fixed costs (measured
         # 16.1 fps at chunk=8 vs 18.2 at 15; KF decisions identical)
         poses = slam.track_sequence(dgrays, ddepths, dts, chunk=15)
         _ = np.asarray(poses[-1])
+        slam.seq_phases = None
         return time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     full_run()                      # compile/warm every program shape
-    best_full = min(full_run() for _ in range(2))
+    compile_full_s = time.perf_counter() - t0
+    phases = {"dispatch": 0.0, "chunk_fetch": 0.0, "host_misc": 0.0,
+              "loop_host": 0.0}
+    t_a = full_run(phases)
+    t_b = full_run()
+    best_full = min(t_a, t_b)
     full_fps = N_FRAMES / best_full
 
     result = {
@@ -177,9 +185,13 @@ def main():
     # diagnostics to stderr-ish (driver reads the one stdout JSON line)
     import sys
 
+    ph = " ".join(f"{k}={v*1e3:.0f}ms" for k, v in phases.items())
     print(
-        f"# compile={compile_s:.1f}s run={best*1e3:.1f}ms/{N_FRAMES}f "
-        f"full={best_full*1e3:.1f}ms mean_inliers={mean_inl:.0f} "
+        f"# compile={compile_s:.1f}s compile_full={compile_full_s:.1f}s "
+        f"run={best*1e3:.1f}ms/{N_FRAMES}f "
+        f"full={best_full*1e3:.1f}ms [{ph} (run A={t_a*1e3:.0f}ms)] "
+        f"mean_inliers={mean_inl:.0f} "
+        f"n_loops={len(slam.loop_log)} "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )

@@ -46,19 +46,16 @@ def enable_compilation_cache(path: str | None = None) -> None:
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache"),
     )
-    # Scope the cache by a host-CPU fingerprint: XLA:CPU AOT executables
-    # embed the compiling machine's feature set (avx512 etc.) and jax's
-    # cache key does NOT include it — loading an entry written by a
-    # different host SIGILL/segfaults (observed: cpu_aot_loader feature
-    # mismatch, then a crash in test runs sharing the cache dir).
-    try:
-        with open("/proc/cpuinfo") as fh:
-            flags = next(
-                (ln for ln in fh if ln.startswith("flags")), "")
-    except OSError:
-        flags = platform.processor()
+    # Scope the cache by BACKEND + jax version, not by host CPU: the
+    # entries are accelerator executables, and a host-CPU fingerprint
+    # (the r2 scheme, added for XLA:CPU AOT segfaults — moot now that
+    # CPU returns early above) fragmented the cache between the builder
+    # session and the driver's bench process, so the driver always
+    # compiled cold (355.8 s in BENCH_r02). One backend-keyed dir lets
+    # a warm cache survive into the next round's bench.
     fp = hashlib.sha1(
-        (platform.machine() + flags).encode()).hexdigest()[:12]
+        (jax.default_backend() + jax.__version__ + platform.machine())
+        .encode()).hexdigest()[:12]
     cache_dir = os.path.join(base, fp)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

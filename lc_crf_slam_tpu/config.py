@@ -42,7 +42,9 @@ class MatcherConfig:
     check_orientation: bool = True
     histo_bins: int = 30          # HISTO_LENGTH
     search_radius_motion: float = 15.0   # SearchByProjection frame-frame
-    search_radius_map: float = 3.0       # SearchByProjection frame-localmap
+    search_radius_map: float = 4.0       # SearchByProjection frame-localmap
+                                         # (reference th=1 path: 4.0*scale
+                                         # for general viewing angles)
 
 
 @dataclass(frozen=True)
@@ -64,7 +66,10 @@ class TrackingConfig:
     kf_max_close_insertable: int = 70     # nNonTrackedClose threshold
     min_inliers_ok: int = 30              # matches to declare tracking OK
     min_inliers_reloc: int = 50
-    max_vo_points: int = 100              # temporal points in UpdateLastFrame
+    # (the reference's UpdateLastFrame VO-point cap has no counterpart:
+    # the motion-model stage here matches against ALL last-frame depth
+    # unprojections, and the final solve deliberately uses map points
+    # only — see tracking.py's TrackLocalMap note)
 
 
 @dataclass(frozen=True)
@@ -93,9 +98,10 @@ class LocalBAConfig:
     """Local bundle adjustment window (reference: LocalBundleAdjustment)."""
 
     max_local_kfs: int = 16       # covisible window (reference: all covisible)
-    max_fixed_kfs: int = 16
+    max_fixed_kfs: int = 16       # fixed observer KFs in the window
+                                  # (capped by the 32-camera problem size)
     max_points: int = 4096
-    max_obs: int = 16384
+    # (edge capacity is structural: window cams x per-KF feature slots)
     outer_iters_1: int = 5
     outer_iters_2: int = 10
     # interruptible schedule for throughput mode: the reference's
@@ -117,8 +123,10 @@ class MappingConfig:
     cull_found_ratio: float = 0.25     # MapPointCulling found/visible
     cull_min_obs: int = 3
     kf_cull_redundancy: float = 0.9    # KeyFrameCulling ≥90% redundant
-    triangulation_neighbors: int = 10  # best covisible KFs for new points
-    fuse_neighbors: int = 10
+    # fuse budget of the post-loop group SearchAndFuse (reference
+    # SearchInNeighbors covers ~10+5 neighbors; 4 measured sufficient
+    # on the sweep-revisit world — see loopclosing.search_and_fuse)
+    fuse_neighbors: int = 4
     covisibility_min_weight: int = 15  # covisibility edge threshold
     max_new_points_per_kf: int = 512
     # grid-stratified spawn: cap new map points per image cell so one
@@ -127,7 +135,9 @@ class MappingConfig:
     # world in the next pose solve. 0 disables the cap.
     spawn_cell_px: int = 80
     spawn_cell_quota: int = 16
-    # triangulation partners per keyframe (0 = module default 4);
+    # triangulation partners per keyframe (0 = module default 4; the
+    # reference searches ~10 best covisible KFs — 4 measured equivalent
+    # on synthetic worlds at 5x less work, see mapping.TRIANG_NEIGHBORS);
     # interrupt_triang_neighbors applies in throughput mode's in-scan
     # mapping (same InterruptBA rationale as LocalBAConfig).
     triang_neighbors: int = 0
@@ -151,8 +161,33 @@ class CRFConfig:
     w_flow: float = 0.5             # short-term track / flow consistency
     reproj_sigma: float = 0.6       # px, on the post-opt residual at
                                     # the audited pose (tracking.py)
-    miss_err: float = 2.5           # px EMA target for
-                                    # visible-but-unmatched tracks
+    # Miss evidence (visible-but-unmatched tracks) is two-tier: a miss
+    # CORROBORATED by an existing motion cue (elevated flow or residual
+    # EMA — the signature of a mover whose map position went stale)
+    # pushes the error EMA hard toward miss_err; an uncorroborated miss
+    # (extraction dropout during fast rotation, occlusion) only drifts
+    # toward miss_err_weak, deliberately BELOW the solo-dynamic
+    # threshold ((x/reproj_sigma)^2 < dynamic_bias). Without the split,
+    # rotation dropouts dynamic-labeled and culled half the static map
+    # (sweep world: 1222 -> 42 surviving early points); without the
+    # strong tier, stale mover points stop accumulating energy the
+    # moment they leave the match gate and survive in the map.
+    miss_err: float = 2.5           # px EMA target, corroborated misses
+    miss_err_weak: float = 1.0      # px EMA target, uncorroborated
+    miss_corroborate_flow: float = 1.25   # px flow EMA that corroborates.
+                                          # Flow is the ONLY corroborating
+                                          # channel: it is frozen-elevated
+                                          # on a stale mover (no updates
+                                          # once unmatched) and stays at
+                                          # LK-noise level on statics even
+                                          # under fast rotation, while a
+                                          # residual-EMA channel was
+                                          # measured to self-escalate on
+                                          # statics with honest 1.5 px
+                                          # residuals during the sweep
+    miss_border_px: float = 16.0    # misses only count this far inside
+                                    # the image (border dropouts are
+                                    # extraction artifacts, not motion)
     depth_sigma: float = 0.03       # relative depth error scale
     flow_sigma: float = 2.0         # px
     prior_static: float = 0.6       # label prior
@@ -194,7 +229,8 @@ class LoopConfig:
     consistency_needed: int = 3        # mnCovisibilityConsistencyTh
     min_bow_matches: int = 20
     min_sim3_inliers: int = 20
-    min_total_matches: int = 40
+    min_total_matches: int = 40        # guided-rematch inliers to accept
+    guided_radius_px: float = 8.0      # SearchByProjection window (px)
     ransac_hypotheses: int = 256       # batched Horn hypotheses
     ransac_inlier_chi2: float = 9.210
     fix_scale: bool = True             # RGB-D

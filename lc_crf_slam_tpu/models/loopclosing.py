@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from ..config import SLAMConfig
 from ..geometry.camera import Pinhole
 from ..geometry.se3 import exp_se3, make_se3, se3_inverse
-from ..ops.match import hamming_matrix, match_nn, resolve_duplicates
+from ..ops.match import (
+    hamming_matrix, match_nn, projection_gate, resolve_duplicates,
+)
 from ..ops.ransac import horn_ransac
 from .ba import pose_optimize
 from .frame import Frame
@@ -189,17 +191,117 @@ def verify_loop(
         sim3_from_se3(se3_inverse(Tcw_kf)),
         sim3_compose((ref.s, ref.R, ref.t), sim3_from_se3(m.kf_Tcw[cand_s])),
     ))
-    T_corr = se3_from_sim3(S_corr)
+
+    # --- guided SearchByProjection re-match + final refinement ----------
+    # The reference's ComputeSim3 does NOT accept on the Sim3 solve alone:
+    # it projects the loop branch's map points (candidate + covisible
+    # neighbors) through the corrected pose, re-matches in a narrow
+    # window, refines once more, and requires >= 40 total matches
+    # (SURVEY.md §4.4). This stage is what makes T_corr accurate enough
+    # to distribute over the pose graph — Horn on a few dozen depth
+    # pairs leaves ~cm-level error that a 5x-weighted loop edge then
+    # smears over otherwise-consistent odometry (measured on the
+    # sweep-revisit world: KF ATE 0.045 -> 0.265 without this stage).
+    from .ba import pose_optimize
+    from .mapstate import observed_mask
+
+    covis = covisibility(m)
+    gw0 = jnp.where(
+        (covis[cand_s] >= cfg.mapping.covisibility_min_weight) & m.kf_alive,
+        covis[cand_s], -jnp.inf,
+    ).at[cand_s].set(jnp.inf)
+    gw, gids = jax.lax.top_k(gw0, 12)
+    gids = jnp.where(gw > -jnp.inf, gids, -1).astype(jnp.int32)
+    loop_pts = observed_mask(m, gids)                       # (P,) bool
+    NP = min(2048, m.capacity_points)
+    _, pid = jax.lax.top_k(loop_pts.astype(jnp.float32), NP)
+    p_ok = loop_pts[pid]
+    pw = m.p_xyz[pid]                                       # (NP, 3)
+    # corrected current-camera pose in the loop world: Sim3 camera
+    # S_cw = Tcw_kf o S_corr^-1; its SE3 projection equivalent folds the
+    # scale into the translation (pixels are scale-invariant: s cancels
+    # in x/z), so pose_optimize refines R, t/s for mono too.
+    S_cw = sim3_compose(sim3_from_se3(Tcw_kf), sim3_inverse(S_corr))
+    Tcw_corr0 = make_se3(S_cw[1], S_cw[2] / S_cw[0])
+    pc = pw @ Tcw_corr0[:3, :3].T + Tcw_corr0[:3, 3]
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    uv_pred = jnp.stack(
+        [cam.fx * pc[:, 0] / z + cam.cx,
+         cam.fy * pc[:, 1] / z + cam.cy], axis=-1,
+    )
+    proj_ok = p_ok & (pc[:, 2] > 0.05) & \
+        (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cam.width) & \
+        (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cam.height)
+    dist_g = hamming_matrix(m.kf_desc[kf_idx], m.p_desc[pid])   # (K, NP)
+    gate_g = m.kf_valid[kf_idx][:, None] & proj_ok[None, :]
+    gate_g &= projection_gate(
+        m.kf_uv[kf_idx], uv_pred, cfg.loop.guided_radius_px
+    )
+    mm_g = match_nn(dist_g, mask=gate_g, max_dist=cfg.matcher.th_high,
+                    mutual=True)
+    mv_g = resolve_duplicates(mm_g.idx, mm_g.dist, mm_g.valid, NP)
+    r2a = pose_optimize(
+        cam, Tcw_corr0, pw[mm_g.idx], m.kf_uv[kf_idx], m.kf_ur[kf_idx],
+        m.kf_level[kf_idx], mv_g, cfg.pose_opt, cfg.orb.scale_factor,
+    )
+    # second guided pass at the REFINED pose (the reference re-searches
+    # after OptimizeSim3 before applying the >= 40-total gate): the
+    # refined projection recovers matches the first window missed.
+    pc_b = pw @ r2a.Tcw[:3, :3].T + r2a.Tcw[:3, 3]
+    z_b = jnp.maximum(pc_b[:, 2], 1e-6)
+    uv_b = jnp.stack(
+        [cam.fx * pc_b[:, 0] / z_b + cam.cx,
+         cam.fy * pc_b[:, 1] / z_b + cam.cy], axis=-1,
+    )
+    proj_b = p_ok & (pc_b[:, 2] > 0.05) & \
+        (uv_b[:, 0] >= 0) & (uv_b[:, 0] < cam.width) & \
+        (uv_b[:, 1] >= 0) & (uv_b[:, 1] < cam.height)
+    gate_b = m.kf_valid[kf_idx][:, None] & proj_b[None, :]
+    gate_b &= projection_gate(
+        m.kf_uv[kf_idx], uv_b, cfg.loop.guided_radius_px
+    )
+    mm_b = match_nn(dist_g, mask=gate_b, max_dist=cfg.matcher.th_high,
+                    mutual=True)
+    mv_b = resolve_duplicates(mm_b.idx, mm_b.dist, mm_b.valid, NP)
+    r2 = pose_optimize(
+        cam, r2a.Tcw, pw[mm_b.idx], m.kf_uv[kf_idx], m.kf_ur[kf_idx],
+        m.kf_level[kf_idx], mv_b, cfg.pose_opt, cfg.orb.scale_factor,
+    )
+    # final correction from the refined camera pose (scale unchanged):
+    # S_corr = S_cw_refined^-1 o Tcw_kf
+    S_cw_ref = (S_corr[0], r2.Tcw[:3, :3], S_corr[0] * r2.Tcw[:3, 3])
+    S_corr_f = sim3_compose(sim3_inverse(S_cw_ref), sim3_from_se3(Tcw_kf))
+    T_corr = se3_from_sim3(S_corr_f)
+
+    # Acceptance (deliberate redesign of the reference's gate budget,
+    # SURVEY.md §8.3#3 rationale): the reference runs its early stages
+    # at >= 20 matches/inliers each partly because the guided
+    # SearchByProjection is CPU-expensive and must be protected by
+    # early exits. Here the guided stage is one batched program, so the
+    # early stages only need to SEED a usable correction (half the
+    # reference bars — Horn + refine are well-posed from ~10 pairs) and
+    # the decision rests where the evidence is strongest: the guided
+    # stage at the FULL reference bars (>= min_total_matches projected
+    # map-point matches, the reference's nTotalMatches semantics, plus
+    # a solid refined inlier set). A wrong seed cannot pass: its
+    # projections miss the 8 px windows and the guided count collapses
+    # (the perceptual-aliasing test pins the rejection path).
+    n_total = jnp.sum(mv_b.astype(jnp.int32))
+    seed_bow = jnp.maximum(cfg.loop.min_bow_matches // 2, 8)
+    seed_inl = jnp.maximum(cfg.loop.min_sim3_inliers // 2, 8)
     accepted = (
         (cand >= 0)
-        & (n_matches >= cfg.loop.min_bow_matches)
-        & (res.n_inliers >= cfg.loop.min_sim3_inliers)
-        & (ref.n_inliers >= cfg.loop.min_sim3_inliers)
+        & (n_matches >= seed_bow)
+        & (res.n_inliers >= seed_inl)
+        & (ref.n_inliers >= seed_inl)
+        & (r2.n_inliers >= cfg.loop.min_sim3_inliers)
+        & (n_total >= cfg.loop.min_total_matches)
+        & jnp.all(jnp.isfinite(T_corr))
     )
     return LoopVerification(
         T_corr=jnp.where(accepted, T_corr, jnp.eye(4)),
-        s_corr=jnp.where(accepted, S_corr[0], 1.0),
-        n_inliers=res.n_inliers,
+        s_corr=jnp.where(accepted, S_corr_f[0], 1.0),
+        n_inliers=r2.n_inliers,
         accepted=accepted,
     )
 
@@ -459,7 +561,7 @@ def relocalize(
         res = pnp_ransac(
             cam, pw_pts, frame.uv, frame.level, has_pt & mv, k,
             n_hypotheses=cfg.loop.ransac_hypotheses,
-            chi2_th=cfg.pose_opt.chi2_mono,
+            chi2_th=cfg.loop.ransac_inlier_chi2,
             scale_factor=cfg.orb.scale_factor,
         )
         Tcw0 = make_se3(res.R, res.t)
@@ -467,10 +569,41 @@ def relocalize(
             cam, Tcw0, pw_pts, frame.uv, frame.u_right, frame.level,
             has_pt & res.inliers, cfg.pose_opt, cfg.orb.scale_factor,
         )
-        acc = ok & res.ok & (
-            r.n_inliers >= cfg.tracking.min_inliers_reloc // 2
+        # guided second-chance SearchByProjection (the reference's
+        # narrow-window top-up when the BoW matches alone fall short of
+        # the 50-inlier bar): project the candidate's map points at the
+        # refined pose, re-match in a window, re-optimize, and keep the
+        # better solve. Acceptance uses the FULL configured bar.
+        obs_c = m.kf_obs[cand]
+        has_c = (obs_c >= 0) & m.kf_valid[cand]
+        pw_c = m.p_xyz[jnp.maximum(obs_c, 0)]
+        pc = pw_c @ r.Tcw[:3, :3].T + r.Tcw[:3, 3]
+        zc = jnp.maximum(pc[:, 2], 1e-6)
+        uv_pred = jnp.stack(
+            [cam.fx * pc[:, 0] / zc + cam.cx,
+             cam.fy * pc[:, 1] / zc + cam.cy], axis=-1,
         )
-        return r.Tcw, r.n_inliers, acc
+        proj_ok = has_c & (pc[:, 2] > 0.05) & \
+            (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cam.width) & \
+            (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cam.height)
+        dist_g = hamming_matrix(frame.desc, m.p_desc[jnp.maximum(obs_c, 0)])
+        gate_g = frame.valid[:, None] & proj_ok[None, :] & projection_gate(
+            frame.uv, uv_pred, cfg.loop.guided_radius_px
+        )
+        mm_g = match_nn(dist_g, mask=gate_g, max_dist=cfg.matcher.th_high,
+                        mutual=True)
+        mv_g = resolve_duplicates(
+            mm_g.idx, mm_g.dist, mm_g.valid, dist_g.shape[1]
+        )
+        r2 = pose_optimize(
+            cam, r.Tcw, pw_c[mm_g.idx], frame.uv, frame.u_right,
+            frame.level, mv_g, cfg.pose_opt, cfg.orb.scale_factor,
+        )
+        use2 = r2.n_inliers > r.n_inliers
+        Tcw_best = jnp.where(use2, r2.Tcw, r.Tcw)
+        n_best = jnp.maximum(r2.n_inliers, r.n_inliers)
+        acc = ok & res.ok & (n_best >= cfg.tracking.min_inliers_reloc)
+        return Tcw_best, n_best, acc
 
     keys = jax.random.split(key, RELOC_CANDS)
     Tcws, n_inl, accs = jax.vmap(per_candidate)(cands, cand_ok, keys)

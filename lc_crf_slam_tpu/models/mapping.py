@@ -43,7 +43,7 @@ def _select_window(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array):
     fixed observer KFs. Returns (cam_ids (C,), cam_fixed (C,), point_ids
     (P,), point_ok (P,))."""
     W = cfg.local_ba.max_local_kfs
-    Ffix = BA_CAMS - W
+    Ffix = min(cfg.local_ba.max_fixed_kfs, BA_CAMS - W)
     covis = covisibility(m)                       # (F, F)
     row = covis[kf_idx] * m.kf_alive              # (F,)
     row = row.at[kf_idx].set(0.0)
@@ -352,8 +352,17 @@ def cull_keyframes(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> MapState:
     kill = nbr_ok & (frac >= cfg.mapping.kf_cull_redundancy) & (n_valid > 20)
     F = m.capacity_kfs
     tgt = jnp.where(kill, nbrs, F)
+    # anchor the culled KFs' poses to the (alive, covisible) triggering
+    # keyframe so trajectory export keeps receiving loop / global-BA
+    # corrections through them (reference: SaveTrajectoryTUM's
+    # pKF->GetParent() walk while the ref KF is bad, SURVEY.md §6.4)
+    Tca = jnp.einsum(
+        "wij,jk->wik", m.kf_Tcw[nbrs], se3_inverse(m.kf_Tcw[kf_idx])
+    )
     m = m._replace(
-        kf_alive=m.kf_alive.at[tgt].set(False, mode="drop")
+        kf_alive=m.kf_alive.at[tgt].set(False, mode="drop"),
+        kf_anchor=m.kf_anchor.at[tgt].set(kf_idx, mode="drop"),
+        kf_Tca=m.kf_Tca.at[tgt].set(Tca, mode="drop"),
     )
     # decrement observation counts of the killed KFs' points
     dead_obs = jnp.where(kill[:, None] & valid, obs, -1).reshape(-1)

@@ -56,6 +56,13 @@ class MapState(NamedTuple):
     kf_valid: jax.Array     # (F, K) bool
     kf_obs: jax.Array       # (F, K) int32 point id per feature (-1 = none)
     kf_emb: jax.Array       # (F, 256) float32 retrieval embedding
+    # spanning-tree remnant for trajectory export (the reference's
+    # SaveTrajectoryTUM walks pKF->GetParent() while the reference KF is
+    # bad, SURVEY.md §6.4): when a KF is culled, its pose is frozen
+    # RELATIVE to a live anchor so later pose-graph / global-BA
+    # corrections still reach every frame that referenced it.
+    kf_anchor: jax.Array    # (F,) int32 anchor KF set at cull time (-1 alive)
+    kf_Tca: jax.Array       # (F, 4, 4) Tcw_culled @ inv(Tcw_anchor) at cull
     # --- dynamic tombstones (ring buffer, capacity D) ---
     # positions of recycled slots that were still serving the dynamic
     # spawn veto. The veto's envelope must outlive the points (a mover
@@ -112,6 +119,8 @@ def empty_map(cfg: SLAMConfig) -> MapState:
         kf_valid=jnp.zeros((F, K), bool),
         kf_obs=jnp.full((F, K), -1, i32),
         kf_emb=jnp.zeros((F, 256), f32),
+        kf_anchor=jnp.full((F,), -1, i32),
+        kf_Tca=jnp.tile(jnp.eye(4, dtype=f32), (F, 1, 1)),
         tomb_xyz=jnp.zeros((TOMB_CAP, 3), f32),
         tomb_valid=jnp.zeros((TOMB_CAP,), bool),
         tomb_n=jnp.asarray(0, i32),

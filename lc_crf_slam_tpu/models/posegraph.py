@@ -17,7 +17,7 @@ where the r1 dense solve (6F x 6F) died (VERDICT r1 weak #4).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -320,50 +320,6 @@ def optimize_pose_graph_sim3(
     return s, R, t
 
 
-def build_graph_edges(
-    m_kf_Tcw: jax.Array,
-    kf_alive: jax.Array,
-    n_kfs: jax.Array,
-    covis: jax.Array,
-    covis_strong: float,
-    loop_i: jax.Array,      # (L,) loop edge endpoints (-1 = unused)
-    loop_j: jax.Array,
-    loop_rel: jax.Array,    # (L, 4, 4) measured relative (corrected)
-    max_covis_edges: int = 512,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Assemble (e_i, e_j, e_rel, e_w, e_valid): sequential chain +
-    strong covisibility + loop edges. Relative measurements are taken
-    from the CURRENT poses (pre-correction), as in the reference."""
-    F = m_kf_Tcw.shape[0]
-    # sequential chain i -> i+1 (spanning-tree analog for a KF sequence)
-    seq_i = jnp.arange(F - 1, dtype=jnp.int32)
-    seq_j = seq_i + 1
-    seq_valid = kf_alive[seq_i] & kf_alive[seq_j] & (seq_j < n_kfs)
-    # strong covisibility pairs (upper triangle)
-    cv = jnp.where(
-        (jnp.triu(jnp.ones((F, F), bool), 2))
-        & kf_alive[:, None] & kf_alive[None, :],
-        covis, 0.0,
-    )
-    flat = cv.reshape(-1)
-    topv, topidx = jax.lax.top_k(flat, max_covis_edges)
-    cv_i = (topidx // F).astype(jnp.int32)
-    cv_j = (topidx % F).astype(jnp.int32)
-    cv_valid = topv >= covis_strong
-
-    L = loop_i.shape[0]
-    e_i = jnp.concatenate([seq_i, cv_i, jnp.maximum(loop_i, 0)])
-    e_j = jnp.concatenate([seq_j, cv_j, jnp.maximum(loop_j, 0)])
-    e_valid = jnp.concatenate(
-        [seq_valid, cv_valid, (loop_i >= 0) & (loop_j >= 0)]
-    )
-    rel_from_poses = m_kf_Tcw[e_i[: F - 1 + max_covis_edges]] @ jax.vmap(
-        se3_inverse
-    )(m_kf_Tcw[e_j[: F - 1 + max_covis_edges]])
-    e_rel = jnp.concatenate([rel_from_poses, loop_rel])
-    e_w = jnp.concatenate([
-        jnp.ones((F - 1,)),
-        jnp.ones((max_covis_edges,)),
-        jnp.full((L,), 5.0),   # loop edges weighted up
-    ])
-    return e_i, e_j, e_rel, e_w, e_valid
+# (edge assembly for the live loop-correction path is inline in
+# loopclosing.correct_loop — a standalone builder here was dead code,
+# removed per VERDICT r2 weak #6)

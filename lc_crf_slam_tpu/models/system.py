@@ -321,10 +321,12 @@ class SLAMSystem:
         if getattr(self, "_scan_chunk_fn", None) is None or \
                 self._scan_chunk_len != chunk or \
                 getattr(self, "_scan_chunk_caps", None) != (
-                    self.enable_mapping, self.enable_crf):
+                    self.enable_mapping, self.enable_crf,
+                    self.enable_loop):
             cfg, cam = self.cfg, self.cam
             with_mapping = self.enable_mapping
             with_crf = self.enable_crf
+            with_loop = self.enable_loop
             # InterruptBA analog: in-scan mapping always has the next
             # frame pending, so local BA runs the shortened schedule
             # (see LocalBAConfig.interrupt_iters_*)
@@ -368,39 +370,27 @@ class SLAMSystem:
                     lambda g, d: build_frame(cam, cfg, g, d)
                 )(grays, depths)
 
+                prev_grays = jnp.concatenate(
+                    [gray_prev0[None], grays[:-1]], axis=0)
                 if with_crf:
-                    # LK flow is pose-INdependent, so both passes the
-                    # defense chain needs are hoisted out of the scan and
-                    # batched across the chunk (the sequential 1024-lane
-                    # per-frame LK underutilizes the TPU; chunk x 2 x 1024
-                    # lanes amortize the 3-level x 8-GN-iteration chain):
-                    #  - forward  (frame k-1 kps -> image k): flow-vs-rigid
-                    #    evidence for the CRF unary (SURVEY.md §4.5);
-                    #  - backward (frame k kps -> image k-1): keyframe
-                    #    spawn gating, so a large mover cannot re-pollute
-                    #    the map at every in-scan keyframe.
-                    prev_grays = jnp.concatenate(
-                        [gray_prev0[None], grays[:-1]], axis=0)
+                    # forward LK (frame k-1 kps -> image k): flow-vs-
+                    # rigid evidence for the CRF unary (SURVEY.md §4.5).
+                    # Pose-independent, so hoisted out of the scan and
+                    # batched across the chunk. The BACKWARD pass (spawn
+                    # gating) runs inside do_kf below: only keyframe
+                    # steps pay it (the always-on doubled batch was ~25%
+                    # of the whole pipeline's device time for the ~25%
+                    # of frames that insert keyframes).
                     prev_uvs = jnp.concatenate(
                         [ts.last_uv[None], frames.uv[:-1]], axis=0)
-                    if spawn_gate:
-                        src = jnp.concatenate([prev_grays, grays])
-                        dst = jnp.concatenate([grays, prev_grays])
-                        uvs = jnp.concatenate([prev_uvs, frames.uv])
-                    else:
-                        src, dst, uvs = prev_grays, grays, prev_uvs
-                    ones = jnp.ones(uvs.shape[:2], bool)
-                    flow = jax.vmap(lk_track)(src, dst, uvs, ones)
-                    nseq = grays.shape[0]
-                    fwd_uv, fwd_ok = flow.uv_next[:nseq], flow.ok[:nseq]
-                    if spawn_gate:
-                        bwd_uv, bwd_ok = flow.uv_next[nseq:], flow.ok[nseq:]
-                    else:
-                        bwd_uv, bwd_ok = fwd_uv, fwd_ok  # unused
+                    ones = jnp.ones(prev_uvs.shape[:2], bool)
+                    flow = jax.vmap(lk_track)(prev_grays, grays,
+                                              prev_uvs, ones)
+                    fwd_uv, fwd_ok = flow.uv_next, flow.ok
                 else:
                     K = frames.uv.shape[1]
-                    fwd_uv = bwd_uv = jnp.zeros_like(frames.uv)
-                    fwd_ok = bwd_ok = jnp.zeros((grays.shape[0], K), bool)
+                    fwd_uv = jnp.zeros_like(frames.uv)
+                    fwd_ok = jnp.zeros((grays.shape[0], K), bool)
 
                 def _project(cam, Tcw, pw):
                     pc = pw @ Tcw[:3, :3].T + Tcw[:3, 3]
@@ -412,7 +402,7 @@ class SLAMSystem:
 
                 def step(carry, inp):
                     m, ts = carry
-                    fr, v, tstamp, f_uv, f_ok, b_uv, b_ok = inp
+                    fr, v, tstamp, f_uv, f_ok, g_cur, g_prev = inp
                     prev_obs = ts.last_obs
                     prev_valid = ts.last_valid
                     Tcw_prev = ts.Tcw
@@ -422,18 +412,26 @@ class SLAMSystem:
                     def do_kf(m2, ts2):
                         flow_dyn = None
                         if spawn_gate:
-                            # rigid prediction of the new frame's kps in
-                            # the previous image vs their measured
-                            # backward flow (mirrors _spawn_flow_dyn)
+                            # backward LK (this frame's kps -> previous
+                            # image) vs the rigid prediction (mirrors
+                            # _spawn_flow_dyn). Runs INSIDE the taken
+                            # branch: only keyframe steps pay the LK
+                            # chain (the hoisted always-on batch doubled
+                            # the chunk's LK cost for ~25% utilization)
+                            res_b = lk_track(
+                                g_cur, g_prev, fr.uv,
+                                fr.valid & (fr.depth > 0),
+                            )
                             Twc = se3_inverse(ts2.Tcw)
                             x = (fr.uv[:, 0] - cam.cx) / cam.fx * fr.depth
                             y = (fr.uv[:, 1] - cam.cy) / cam.fy * fr.depth
                             pc = jnp.stack([x, y, fr.depth], axis=-1)
                             pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
                             uv_pred, zprev = _project(cam, Tcw_prev, pw)
-                            mism = jnp.linalg.norm(b_uv - uv_pred, axis=-1)
+                            mism = jnp.linalg.norm(
+                                res_b.uv_next - uv_pred, axis=-1)
                             flow_dyn = (
-                                fr.valid & (fr.depth > 0) & b_ok
+                                fr.valid & (fr.depth > 0) & res_b.ok
                                 & (zprev > 0.05)
                                 & (mism > cfg.crf.spawn_flow_gate))
                         m3, ts3 = insert_keyframe(
@@ -475,21 +473,45 @@ class SLAMSystem:
 
                 (m, ts), outs = jax.lax.scan(
                     step, (m, ts),
-                    (frames, valid, tstamps, fwd_uv, fwd_ok, bwd_uv, bwd_ok),
+                    (frames, valid, tstamps, fwd_uv, fwd_ok,
+                     grays, prev_grays),
                 )
                 Tcw_seq, Tcr_seq, kf_flags, refkf_seq, status_seq = outs
                 if with_crf:
                     m, _ = crf_step(cfg, m, ts.frame_idx)
+                # loop detection folded into the chunk program: the
+                # host's _try_close_loop otherwise dispatches+fetches it
+                # separately — one extra full round trip per chunk on a
+                # tunneled TPU (the BENCH_r02 full-pipeline gap)
+                if with_loop:
+                    any_kf = jnp.any(kf_flags & valid)
+                    topk = cfg.loop.retrieval_topk
+                    F = m.capacity_kfs
+                    lc_valid, lc_cands, lc_groups = jax.lax.cond(
+                        any_kf,
+                        lambda: (lambda lc: (lc.valid, lc.cands, lc.groups))(
+                            detect_loop(cfg, m, ts.ref_kf)),
+                        lambda: (jnp.asarray(False),
+                                 jnp.full((topk,), -1, jnp.int32),
+                                 jnp.zeros((topk, F), bool)),
+                    )
+                else:
+                    lc_valid = jnp.asarray(False)
+                    lc_cands = jnp.zeros((0,), jnp.int32)
+                    lc_groups = jnp.zeros((0, 0), bool)
                 return m, ts, (Tcw_seq, Tcr_seq, kf_flags, refkf_seq,
-                               status_seq)
+                               status_seq, ts.ref_kf, m.n_kfs,
+                               lc_valid, lc_cands, lc_groups)
 
             self._scan_chunk_fn = run_chunk
             self._scan_chunk_len = chunk
-            self._scan_chunk_caps = (with_mapping, with_crf)
+            self._scan_chunk_caps = (with_mapping, with_crf,
+                                     self.enable_loop)
 
         loc_only = getattr(self, "_localization_only", False)
         allow_kf = jnp.asarray(not loc_only)
         poses = []
+        phases = getattr(self, "seq_phases", None)  # optional profiling
         i = 0
         while i < n:
             j = min(i + chunk, n)
@@ -507,6 +529,7 @@ class SLAMSystem:
             gray_prev0 = (
                 self._last_gray if self._last_gray is not None else g[0]
             )
+            t0 = time.perf_counter()
             m2, ts2, outs = self._scan_chunk_fn(
                 self.map, self.ts, g, d, jnp.asarray(valid),
                 jnp.asarray(tst), allow_kf, jnp.asarray(gray_prev0))
@@ -515,8 +538,16 @@ class SLAMSystem:
             # per-frame API shares these; mixed-mode callers rely on it)
             self._last_gray = g[take - 1]
             self._last_Tcw = ts2.Tcw
+            if phases is not None:
+                phases["dispatch"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
             # ONE packed device->host transfer per chunk
-            Tcw_np, Tcr_np, flags, refkf, statuses = jax.device_get(outs)
+            (Tcw_np, Tcr_np, flags, refkf, statuses,
+             last_kf, n_kfs, lc_valid, lc_cands, lc_groups) = \
+                jax.device_get(outs)
+            if phases is not None:
+                phases["chunk_fetch"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
             poses.append(Tcw_np[:take])
             for k in range(take):
                 self.trajectory.append(
@@ -537,7 +568,7 @@ class SLAMSystem:
             # PnP reloc — without this, throughput mode stays lost
             # forever (the in-scan step has no reloc branch; rare-path
             # work belongs on the host, not in the hot program)
-            if (statuses[take - 1] == 2 and int(self.map.n_kfs) >= 2):
+            if (statuses[take - 1] == 2 and int(n_kfs) >= 2):
                 fr = self._build_frame(
                     self.cam, self.cfg, g[take - 1], d[take - 1])
                 self._reloc_key, sub = jax.random.split(self._reloc_key)
@@ -552,8 +583,15 @@ class SLAMSystem:
                         "t": float(timestamps[j - 1]),
                         "inliers": int(rr.n_inliers),
                     })
+            if phases is not None:
+                phases["host_misc"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
             if flags[:take].any() and self.enable_loop:
-                self._try_close_loop()
+                self._try_close_loop(
+                    pre=(int(last_kf), bool(lc_valid),
+                         np.asarray(lc_cands), np.asarray(lc_groups)))
+            if phases is not None:
+                phases["loop_host"] += time.perf_counter() - t0
             i += take
         return np.concatenate(poses)
 
@@ -743,7 +781,7 @@ class SLAMSystem:
             self.stats.append({"event": "capacity_full", "detail": msg})
             self._capacity_warned = True
 
-    def _try_close_loop(self) -> None:
+    def _try_close_loop(self, pre=None) -> None:
         """LoopClosing::Run body for the newly inserted keyframe.
 
         Detection returns the 0.75*best-filtered top-k candidates with
@@ -751,13 +789,21 @@ class SLAMSystem:
         consecutive-detection GROUP consistency (a candidate only
         qualifies once its covisibility group has intersected a group
         from the previous detections enough times — mvConsistentGroups),
-        then verifies candidates geometrically in score order."""
-        # dispatch detection first, then ONE packed device->host fetch —
-        # separate scalar fetches are full round trips on a tunneled TPU
-        lc = self._detect_loop(self.cfg, self.map, self.ts.ref_kf)
-        kf, valid, cands, groups = map(np.asarray, jax.device_get(
-            (self.ts.ref_kf, lc.valid, lc.cands, lc.groups)))
-        kf = int(kf)
+        then verifies candidates geometrically in score order.
+
+        `pre`: (kf, valid, cands, groups) detection already fetched by
+        the chunk program (track_sequence folds detect_loop into the
+        chunk's one packed transfer); None dispatches it here."""
+        if pre is not None:
+            kf, valid, cands, groups = pre
+        else:
+            # dispatch detection, then ONE packed device->host fetch —
+            # separate scalar fetches are full round trips on a
+            # tunneled TPU
+            lc = self._detect_loop(self.cfg, self.map, self.ts.ref_kf)
+            kf, valid, cands, groups = map(np.asarray, jax.device_get(
+                (self.ts.ref_kf, lc.valid, lc.cands, lc.groups)))
+            kf = int(kf)
         if kf - self._last_loop_kf < self.cfg.loop.min_kfs_since_last:
             return
         if not bool(valid):
@@ -774,7 +820,7 @@ class SLAMSystem:
                 if (gmask & pmask).any():
                     streak = max(streak, pstreak + 1)
             new_groups.append((gmask, streak))
-            if streak >= min(self.cfg.loop.consistency_needed, 2):
+            if streak >= self.cfg.loop.consistency_needed:
                 ready.append(int(c))
         self._consistent_groups = new_groups
         for cand in ready[:3]:
@@ -798,7 +844,8 @@ class SLAMSystem:
             # the residual alignment error (see loopclosing.search_and_fuse)
             self.map = self._global_ba(self.cfg, self.cam, self.map, 6)
             self.map = self._search_fuse(
-                self.cfg, self.cam, self.map, self.ts.ref_kf
+                self.cfg, self.cam, self.map, self.ts.ref_kf,
+                self.cfg.mapping.fuse_neighbors,
             )
             self._last_loop_kf = kf
             self._consistent_groups = []
@@ -820,11 +867,25 @@ class SLAMSystem:
         ts = np.array([t for t, _, _ in self.trajectory])
         resolved = jax.device_get(
             [(T, r) for _, T, r in self.trajectory])
-        kf_Tcw_now = np.asarray(self.map.kf_Tcw)
+        kf_Tcw_now, kf_alive, kf_anchor, kf_Tca = jax.device_get(
+            (self.map.kf_Tcw, self.map.kf_alive,
+             self.map.kf_anchor, self.map.kf_Tca))
+        kf_Tcw_now = np.asarray(kf_Tcw_now)
         poses = np.empty((len(resolved), 4, 4))
         for k, (Tcr, r) in enumerate(resolved):
             r = int(r)
-            Tcw = np.asarray(Tcr) @ (kf_Tcw_now[r] if r >= 0 else np.eye(4))
+            Tcr = np.asarray(Tcr)
+            # spanning-tree walk (System::SaveTrajectoryTUM): a culled
+            # reference KF never receives loop / global-BA corrections,
+            # so fold its frozen cull-time relative pose into the chain
+            # and re-anchor on the first LIVE ancestor, which does.
+            hops = 0
+            while r >= 0 and not bool(kf_alive[r]) and kf_anchor[r] >= 0 \
+                    and hops < len(kf_Tcw_now):
+                Tcr = Tcr @ np.asarray(kf_Tca[r])
+                r = int(kf_anchor[r])
+                hops += 1
+            Tcw = Tcr @ (kf_Tcw_now[r] if r >= 0 else np.eye(4))
             R, t = Tcw[:3, :3], Tcw[:3, 3]
             poses[k, :3, :3] = R.T
             poses[k, :3, 3] = -R.T @ t
@@ -841,16 +902,22 @@ class SLAMSystem:
         from ..utils.io_tum import write_trajectory_tum
 
         n = int(self.map.n_kfs)
+        # reference SaveKeyFrameTrajectoryTUM skips bad (culled) KFs
+        alive = np.asarray(self.map.kf_alive[:n])
         Twc = np.asarray(
             jax.vmap(se3_inverse)(self.map.kf_Tcw[:n])
-        )
-        times = np.asarray(self.map.kf_time[:n])
+        )[alive]
+        times = np.asarray(self.map.kf_time[:n])[alive]
         write_trajectory_tum(path, times, Twc)
 
     def set_localization_mode(self, enabled: bool) -> None:
         """System::ActivateLocalizationMode / DeactivateLocalizationMode:
         when enabled, tracking continues against the frozen map — no
-        keyframe insertion, mapping, CRF updates, or loop closing."""
+        keyframe insertion, no mapping pass, no loop closing, so the
+        map's structure (keyframes / alive points) cannot change.
+        Per-point tracking statistics and CRF labels still update, as
+        the reference's Tracking thread also keeps updating MapPoint
+        found/visible statistics in this mode."""
         self._localization_only = enabled
 
     def reset(self) -> None:

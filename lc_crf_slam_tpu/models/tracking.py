@@ -302,7 +302,8 @@ def track_step(
     ).astype(jnp.int32)
     gate2 = projection_gate(
         frame.uv, uv1[local_ids],
-        _scale_radii(pred_level, 4.0, cfg.orb.scale_factor),
+        _scale_radii(pred_level, cfg.matcher.search_radius_map,
+                     cfg.orb.scale_factor),
         frame.level, pred_level, level_tolerance=1,
     )
     # only queries not already matched by the motion model
@@ -481,12 +482,30 @@ def track_step(
     assoc_mask = (
         jnp.zeros(m.capacity_points, bool).at[upd_ids].set(True, mode="drop")
     )
-    missed = local_ok & ~assoc_mask[local_ids]
+    # border guard: a point projecting near the image edge routinely
+    # loses its feature to extraction dropout (grid budget, blur) during
+    # fast rotation — that miss is an artifact, not motion evidence
+    bm = cfg.crf.miss_border_px
+    uv_loc = uv2[local_ids]
+    interior = (
+        (uv_loc[:, 0] >= bm) & (uv_loc[:, 0] < cam.width - bm)
+        & (uv_loc[:, 1] >= bm) & (uv_loc[:, 1] < cam.height - bm)
+    )
+    missed = local_ok & interior & ~assoc_mask[local_ids]
     miss_ids = jnp.where(missed, local_ids, m.capacity_points)
     err_miss_old = m.p_err_ema[local_ids]
+    # two-tier miss target (see CRFConfig): a stale mover carries an
+    # elevated flow / residual EMA from the frames it was still matched;
+    # only then does the miss push hard toward the dynamic threshold
+    corroborated = (
+        m.p_flow_err[local_ids] > cfg.crf.miss_corroborate_flow
+    )
+    miss_tgt = jnp.where(
+        corroborated, cfg.crf.miss_err, cfg.crf.miss_err_weak
+    )
     m = m._replace(
         p_err_ema=m.p_err_ema.at[miss_ids].set(
-            decay * err_miss_old + (1 - decay) * cfg.crf.miss_err,
+            decay * err_miss_old + (1 - decay) * miss_tgt,
             mode="drop",
         )
     )

@@ -66,6 +66,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     "device program) instead of per-frame calls")
     ap.add_argument("--chunk", type=int, default=8,
                     help="frames per device program in --throughput mode")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join the jax.distributed runtime before any "
+                    "backend use (multi-host pods: coordinator/process "
+                    "info from the cluster env; see parallel.mesh."
+                    "init_distributed)")
     return ap
 
 
@@ -96,6 +101,10 @@ def _run_throughput_stream(slam, frames_iter, n, chunk, window=64):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.distributed:
+        from .parallel.mesh import init_distributed
+
+        init_distributed()   # env-driven (pod metadata / JAX_COORDINATOR_*)
     if args.cpu:
         import jax
 

@@ -61,7 +61,7 @@ class SyntheticWorld:
     bb_speed: float = 0.04                # m/frame
     bb_dir: tuple = (1.0, 0.0, 0.0)       # unit direction (z ignored)
     bb_n_dots: int = 100                  # splat-style feature dots
-    trajectory: str = "orbit"         # orbit | line | loop | sweep
+    trajectory: str = "orbit"         # orbit | line | loop | sweep | pan
     sweep_yaw: float = 1.2            # sweep: max |yaw| (rad); the view
                                       # leaves the start sector entirely
                                       # (FOV ~1.18 rad at TUM intrinsics)
@@ -72,14 +72,19 @@ class SyntheticWorld:
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
         bx, by, bz = self.box
-        if self.trajectory == "sweep":
+        if self.trajectory in ("sweep", "pan"):
             # Cylindrical shell AROUND the camera: the sweep trajectory
             # yaws far enough that a frontal box would leave the view
             # empty mid-sweep; sample points over the swept angular
-            # sector instead (fr1_room-style revisit geometry).
+            # sector instead (fr1_room-style revisit geometry). A "pan"
+            # covers the full circle.
             pad = 0.8
-            phi = self.rng.uniform(
-                -self.sweep_yaw - pad, self.sweep_yaw + pad, self.n_static)
+            if self.trajectory == "pan":
+                phi = self.rng.uniform(-np.pi, np.pi, self.n_static)
+            else:
+                phi = self.rng.uniform(
+                    -self.sweep_yaw - pad, self.sweep_yaw + pad,
+                    self.n_static)
             r = self.rng.uniform(2.0, 2.0 + bz, self.n_static)
             self.p_static = np.stack(
                 [
@@ -137,6 +142,19 @@ class SyntheticWorld:
                 0.04 * np.sin(4 * np.pi * t),
                 0.1 * np.sin(np.pi * t),
             ])
+        elif self.trajectory == "pan":
+            # full-turn yaw 0 -> 2pi: the END sector IS the start sector
+            # but is reached without retracing (the canonical loop-
+            # closure geometry — the return cannot reconnect through
+            # covisibility, only through loop detection), with a small
+            # positional drift circle so the revisit carries real
+            # translation error too
+            yaw = 2.0 * np.pi * t
+            pos = np.array([
+                0.12 * np.sin(2 * np.pi * t),
+                0.04 * np.sin(4 * np.pi * t),
+                0.12 * (1 - np.cos(2 * np.pi * t)),
+            ])
         else:  # orbit: small lateral arc, always looking at the cloud
             ang = 0.8 * np.sin(2 * np.pi * t)
             pos = np.array([0.8 * np.sin(ang), 0.1 * np.sin(4 * np.pi * t), 0.3 * (1 - np.cos(ang))])
@@ -157,9 +175,16 @@ class SyntheticWorld:
         return np.concatenate([self.p_static, p_dyn], axis=0)
 
     # --- observation generation ---------------------------------------------
-    def frame(self, k: int, render: bool = False) -> SyntheticFrame:
+    def frame(self, k: int, render: bool = False,
+              T_wc: np.ndarray | None = None) -> SyntheticFrame:
+        """Observations (and optionally a rendered image) at frame k.
+
+        `T_wc` overrides the trajectory pose — e.g. the RIGHT eye of a
+        stereo pair: gt_pose_twc(k) composed with a +baseline camera-x
+        shift (see tests/test_mono_stereo_e2e.py)."""
         cam = self.cam
-        T_wc = self.gt_pose_twc(k)
+        if T_wc is None:
+            T_wc = self.gt_pose_twc(k)
         T_cw = np.linalg.inv(T_wc)
         pts_w = self.points_at(k)
         pts_c = pts_w @ T_cw[:3, :3].T + T_cw[:3, 3]

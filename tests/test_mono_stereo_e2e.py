@@ -34,6 +34,33 @@ class TestMonocular:
 
 @pytest.mark.slow
 class TestStereoEntry:
+    def test_track_stereo_sequence_accuracy(self):
+        """Accuracy-gated stereo e2e (VERDICT r2 weak #8): rendered
+        left/right pairs (right eye = gt pose shifted by the baseline
+        along camera x) tracked through TrackStereo; the estimated
+        trajectory must match ground truth."""
+        from lc_crf_slam_tpu.utils.evaluate import evaluate_ate
+
+        world = SyntheticWorld(cam=TUM3, n_frames=24, n_static=900,
+                               n_dynamic=0, seed=11, trajectory="line",
+                               pixel_noise=0.0, depth_noise=0.0)
+        b = TUM3.bf / TUM3.fx
+        shift = np.eye(4)
+        shift[0, 3] = b
+        slam = SLAMSystem(TUM3, SLAMConfig())
+        for k in range(24):
+            fl = world.frame(k, render=True)
+            T_wc_r = world.gt_pose_twc(k) @ shift
+            fr = world.frame(k, render=True, T_wc=T_wc_r)
+            slam.track_stereo(fl.image, fr.image, fl.timestamp)
+        ts_est, pe = slam.get_trajectory()
+        gt_t, gt = world.groundtruth()
+        ate = evaluate_ate(ts_est, pe, gt_t, gt).rmse
+        lost = sum(1 for s in slam.stats if s.get("status", 1) != 1)
+        assert lost == 0, lost
+        assert ate < 0.05, ate
+        assert int(slam.map.n_kfs) >= 3
+
     def test_track_stereo_runs(self):
         """Plumbing: stereo pair (right = left shifted by disparity of a
         fronto-parallel plane) initializes and returns a pose."""
