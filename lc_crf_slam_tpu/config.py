@@ -62,6 +62,8 @@ class TrackingConfig:
     interrupt_min_kf_gap: int = 2
     max_frames_between_kf: int = 30       # ~fps
     kf_ref_ratio: float = 0.75            # thRefRatio for RGB-D
+    kf_ref_ratio_mono: float = 0.9        # thRefRatio for MONOCULAR
+    kf_min_inliers_mono: int = 15         # reference mono c2 inlier bar
     kf_min_close_tracked: int = 100       # nTrackedClose threshold
     kf_max_close_insertable: int = 70     # nNonTrackedClose threshold
     min_inliers_ok: int = 30              # matches to declare tracking OK

@@ -20,8 +20,13 @@ from ..config import SLAMConfig
 from ..geometry.camera import Pinhole, undistort_pixels
 from ..ops.fast import fast_score_dual
 from ..ops.pallas_fast import fast_score_dual_pallas
-from ..ops.orb import brief_descriptors_direct, ic_angles
-from ..ops.pyramid import build_pyramid, features_per_level, gaussian_blur
+from ..ops.orb import (
+    PATCH_MARGIN,
+    _gather_patches,
+    brief_descriptors_matmul,
+    ic_angles_from_patches,
+)
+from ..ops.pyramid import build_pyramid, features_per_level
 from ..ops.select import select_keypoints
 
 
@@ -68,10 +73,14 @@ def build_frame(
         uv_l, sc_l, val_l = select_keypoints(
             hi, lo, quotas[l], cell=orb.cell_size, margin=orb.edge_margin
         )
-        ang_l = ic_angles(img_l, uv_l)
-        desc_l = brief_descriptors_direct(
-            gaussian_blur(img_l, 7, 2.0), uv_l, ang_l
-        )
+        # ONE 45x45 patch gather per keypoint feeds both the IC angle
+        # (center 31x31, unblurred) and the matmul BRIEF (in-patch blur
+        # + rotation-bin difference matmul) — replaces a 31x31 patch
+        # gather + full-level Gaussian blur + 512 random samples per
+        # keypoint (the front-end's dominant device cost, ops/orb.py)
+        patches_l = _gather_patches(img_l, uv_l, PATCH_MARGIN + 3)
+        ang_l = ic_angles_from_patches(patches_l)
+        desc_l = brief_descriptors_matmul(patches_l, ang_l)
         scale = orb.scale_factor**l
         uv_all.append(uv_l.astype(jnp.float32) * scale)
         lvl_all.append(jnp.full((quotas[l],), l, jnp.int32))

@@ -107,14 +107,24 @@ def detect_loop(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> LoopCandidat
 
 
 def _kf_world_points(cam: Pinhole, m: MapState, kf: jax.Array):
-    """Depth-backed world positions of a keyframe's features (K, 3)."""
+    """World positions of a keyframe's features (K, 3): depth-backed
+    where measured depth exists (RGB-D/stereo), falling back to the
+    feature's associated MAP POINT (the reference always uses
+    vpMapPointMatches — this is what makes mono loop verification
+    possible, where per-feature depth is absent)."""
     uv = m.kf_uv[kf]
     d = m.kf_depth[kf]
     Twc = se3_inverse(m.kf_Tcw[kf])
     x = (uv[:, 0] - cam.cx) / cam.fx * d
     y = (uv[:, 1] - cam.cy) / cam.fy * d
     pc = jnp.stack([x, y, d], axis=-1)
-    return pc @ Twc[:3, :3].T + Twc[:3, 3], (d > 0) & m.kf_valid[kf]
+    pw_depth = pc @ Twc[:3, :3].T + Twc[:3, 3]
+    obs = m.kf_obs[kf]
+    has_pt = (obs >= 0) & m.p_alive[jnp.maximum(obs, 0)]
+    pw_map = m.p_xyz[jnp.maximum(obs, 0)]
+    ok_d = d > 0
+    pw = jnp.where(ok_d[:, None], pw_depth, pw_map)
+    return pw, m.kf_valid[kf] & (ok_d | has_pt)
 
 
 class LoopVerification(NamedTuple):
@@ -162,11 +172,18 @@ def verify_loop(
     # S12 maps cand-camera coords -> kf-camera coords; from the world
     # correction: S12 = Tcw_kf o S_corr^-1 o Twc_cd.
     def _cam_points(kf):
+        # camera-frame feature points: measured depth where present,
+        # else the associated map point transformed into the camera
+        # (mono path — mirrors _kf_world_points)
         uv = m.kf_uv[kf]
         d = m.kf_depth[kf]
         x = (uv[:, 0] - cam.cx) / cam.fx * d
         y = (uv[:, 1] - cam.cy) / cam.fy * d
-        return jnp.stack([x, y, d], axis=-1)
+        pc_d = jnp.stack([x, y, d], axis=-1)
+        T = m.kf_Tcw[kf]
+        obs = m.kf_obs[kf]
+        pc_m = m.p_xyz[jnp.maximum(obs, 0)] @ T[:3, :3].T + T[:3, 3]
+        return jnp.where((d > 0)[:, None], pc_d, pc_m)
 
     S_corr0 = (res.s, res.R, res.t)
     Tcw_kf = m.kf_Tcw[kf_idx]
@@ -411,6 +428,109 @@ def correct_loop(
     # frame the tracker anchors on before global BA runs; the driver
     # fuses the whole group AFTER global BA (see search_and_fuse for the
     # measured reason this split matters)
+    return search_and_fuse(cfg, cam, m, kf_idx, budget=1)
+
+
+def correct_loop_sim3(
+    cfg: SLAMConfig, cam: Pinhole, m: MapState,
+    kf_idx: jax.Array, cand: jax.Array, T_corr: jax.Array,
+    s_corr: jax.Array,
+) -> MapState:
+    """CorrectLoop for MONO (cfg.loop.fix_scale=False): the reference's
+    OptimizeEssentialGraph proper — Sim3 nodes with a free scale
+    coordinate absorb the accumulated scale drift that an SE3 graph
+    cannot (SURVEY.md §4.4, g2o types_seven_dof_expmap). The corrected
+    current-group poses get scale 1/s_corr; after optimization node
+    poses fold scale back into translation (se3_from_sim3, the
+    reference's Tiw = [R, t/s]) and map points propagate through their
+    reference keyframe's Sim3 delta."""
+    from ..geometry.sim3 import (
+        se3_from_sim3, sim3_compose, sim3_from_se3, sim3_inverse,
+    )
+    from .posegraph import Sim3Graph, optimize_pose_graph_sim3
+
+    F = m.capacity_kfs
+    # verify_loop exported T_corr with scale folded into translation
+    # (se3_from_sim3); reconstruct the true Sim3 world correction
+    S_corr = (s_corr, T_corr[:3, :3], T_corr[:3, 3] * s_corr)
+    covis = covisibility(m)
+    group = (covis[kf_idx] >= cfg.mapping.covisibility_min_weight)
+    group = group.at[kf_idx].set(True)
+    group &= m.kf_alive
+
+    Tcw_old = m.kf_Tcw
+    S_old = sim3_from_se3(Tcw_old)                       # batched (F,)
+    S_corr_inv = sim3_inverse(S_corr)
+    S_grp = sim3_compose(S_old, S_corr_inv)              # S_cw' per KF
+    in_g = group
+    s_n = jnp.where(in_g, S_grp[0], S_old[0])
+    R_n = jnp.where(in_g[:, None, None], S_grp[1], S_old[1])
+    t_n = jnp.where(in_g[:, None], S_grp[2], S_old[2])
+
+    # edges: chain + strong covisibility from PRE-correction poses
+    # (scale-1 odometry measurements) + the corrected loop edge
+    seq_i = jnp.arange(F - 1, dtype=jnp.int32) + 1
+    seq_j = jnp.arange(F - 1, dtype=jnp.int32)
+    seq_valid = m.kf_alive[seq_i] & m.kf_alive[seq_j] & (seq_i < m.n_kfs)
+    cv = jnp.where(
+        jnp.triu(jnp.ones((F, F), bool), 2)
+        & m.kf_alive[:, None] & m.kf_alive[None, :],
+        covis, 0.0,
+    )
+    topv, topidx = jax.lax.top_k(cv.reshape(-1), 256)
+    cv_i = (topidx // F).astype(jnp.int32)
+    cv_j = (topidx % F).astype(jnp.int32)
+    cv_valid = topv >= cfg.loop.covis_edge_weight
+    e_i = jnp.concatenate([seq_i, cv_i, kf_idx[None]])
+    e_j = jnp.concatenate([seq_j, cv_j, jnp.maximum(cand, 0)[None]])
+    rel_se3 = Tcw_old[e_i[:-1]] @ jax.vmap(se3_inverse)(Tcw_old[e_j[:-1]])
+    # loop edge: corrected current Sim3 vs the candidate
+    S_kf_corr = sim3_compose(sim3_from_se3(Tcw_old[kf_idx]), S_corr_inv)
+    S_loop = sim3_compose(
+        S_kf_corr, sim3_inverse(sim3_from_se3(Tcw_old[jnp.maximum(cand, 0)]))
+    )
+    e_s = jnp.concatenate([jnp.ones((F - 1 + 256,)), S_loop[0][None]])
+    e_R = jnp.concatenate([rel_se3[:, :3, :3], S_loop[1][None]])
+    e_t = jnp.concatenate([rel_se3[:, :3, 3], S_loop[2][None]])
+    e_w = jnp.concatenate([
+        jnp.ones((F - 1,)), jnp.ones((256,)), jnp.asarray([5.0])
+    ])
+    e_valid = jnp.concatenate([seq_valid, cv_valid, jnp.asarray([True])])
+    node_fixed = (jnp.arange(F) == 0) | (jnp.arange(F) == cand)
+    g = Sim3Graph(
+        s=s_n, R=R_n, t=t_n,
+        node_valid=m.kf_alive & (jnp.arange(F) < m.n_kfs),
+        node_fixed=node_fixed,
+        e_i=e_i, e_j=e_j, e_s=e_s, e_R=e_R, e_t=e_t,
+        e_w=e_w, e_valid=e_valid,
+    )
+    s_o, R_o, t_o = optimize_pose_graph_sim3(
+        g, n_iters=cfg.loop.pose_graph_iters, fix_scale=False,
+    )
+    Tcw_new = se3_from_sim3((s_o, R_o, t_o))
+    Tcw_new = jnp.where(
+        (m.kf_alive & (jnp.arange(F) < m.n_kfs))[:, None, None],
+        Tcw_new, Tcw_old,
+    )
+
+    # propagate points via their reference KF's Sim3 delta:
+    # p' = S_new_f^-1 ( S_old_f (p) )  (reference CorrectLoop's
+    # eigP3Dw -> Srw -> corrected Swc path)
+    ref = jnp.clip(m.p_first_kf, 0, F - 1)
+    S_new_inv = sim3_inverse((s_o, R_o, t_o))
+    s_a, R_a, t_a = (S_old[0][ref], S_old[1][ref], S_old[2][ref])
+    pc = s_a[:, None] * jnp.einsum("pij,pj->pi", R_a, m.p_xyz) + t_a
+    s_b, R_b, t_b = (S_new_inv[0][ref], S_new_inv[1][ref], S_new_inv[2][ref])
+    p_new = s_b[:, None] * jnp.einsum("pij,pj->pi", R_b, pc) + t_b
+    p_new = jnp.where(m.p_alive[:, None], p_new, m.p_xyz)
+    # scale-invariance distance ranges follow the local scale change
+    s_ratio = jnp.where(m.p_alive, S_old[0][ref] / jnp.maximum(
+        s_o[ref], 1e-9), 1.0)
+    m = m._replace(
+        kf_Tcw=Tcw_new, p_xyz=p_new,
+        p_min_dist=m.p_min_dist * s_ratio,
+        p_max_dist=m.p_max_dist * s_ratio,
+    )
     return search_and_fuse(cfg, cam, m, kf_idx, budget=1)
 
 

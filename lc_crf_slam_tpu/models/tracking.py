@@ -523,11 +523,22 @@ def track_step(
         n_uc > tcfg.kf_max_close_insertable
     )
     # reference c1c/c2: inliers fell below thRefRatio of the reference
-    # keyframe's match count
+    # keyframe's match count. MONO (no stereo/depth features) uses the
+    # reference's mono constants: thRefRatio = 0.9 and the >15-inlier
+    # insertion bar instead of the 30-inlier OK gate — with the RGB-D
+    # 0.75 ratio, 0.75*ref_matches falls below min_inliers_ok at mono
+    # match counts and keyframe insertion deadlocks (the map starves
+    # while tracking decays straight to LOST).
+    is_mono = ~jnp.any(frame.u_right >= 0)
+    weak_ratio = jnp.where(is_mono, tcfg.kf_ref_ratio_mono,
+                           tcfg.kf_ref_ratio)
     weak = n_inliers < (
-        tcfg.kf_ref_ratio * ts.ref_matches.astype(jnp.float32)
+        weak_ratio * ts.ref_matches.astype(jnp.float32)
     ).astype(jnp.int32)
-    need_kf = ok & (
+    insertable = jnp.where(
+        is_mono, n_inliers > tcfg.kf_min_inliers_mono, ok
+    )
+    need_kf = insertable & (
         (ts.n_since_kf >= tcfg.max_frames_between_kf) | need_close | weak
     ) & (ts.n_since_kf > tcfg.min_frames_between_kf)
 

@@ -146,6 +146,74 @@ def brief_descriptors_direct(
     return pack_bits(vals[..., 0] < vals[..., 1])
 
 
+N_ANGLE_BINS = 30     # the original ORB paper's 2pi/30 steered-BRIEF
+                      # lookup discretization
+
+
+@functools.lru_cache(maxsize=1)
+def _brief_bin_matrix() -> np.ndarray:
+    """(39*39, 30*256) float32 difference-selection matrix.
+
+    Column (b, i) holds +1 at pattern pair i's SECOND sample pixel and
+    -1 at its FIRST, both rotated by bin b's angle and rounded to the
+    nearest pixel (the reference's cvRound steering): for a flattened
+    39x39 patch `p`, (p @ D)[b, i] = v2 - v1, so bit = (p @ D) > 0.
+    If both samples round to one pixel the column is all-zero and the
+    bit is deterministically 0 — matching the direct comparison
+    v1 < v2 with v1 == v2."""
+    pat = brief_pattern().astype(np.float64)         # (256, 4)
+    size = 2 * PATCH_MARGIN + 1
+    D = np.zeros((size * size, N_ANGLE_BINS, 256), np.float32)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        for pt, sign in ((0, -1.0), (2, +1.0)):      # (x1,y1) / (x2,y2)
+            x = np.round(ca * pat[:, pt] - sa * pat[:, pt + 1])
+            y = np.round(sa * pat[:, pt] + ca * pat[:, pt + 1])
+            idx = ((y + PATCH_MARGIN) * size + (x + PATCH_MARGIN)).astype(int)
+            D[idx, b, np.arange(256)] += sign
+    return D.reshape(size * size, N_ANGLE_BINS * 256)
+
+
+def brief_descriptors_matmul(
+    patches: jax.Array, angles: jax.Array
+) -> jax.Array:
+    """Steered BRIEF-256 as ONE MXU matmul (K, 8) uint32.
+
+    `patches`: (K, 45, 45) UNBLURRED patches centered on the keypoints
+    (PATCH_MARGIN + blur radius margin). The per-sample random gathers
+    of the direct formulation (512 per keypoint — measured 5.5 ms/frame
+    on v5e, the front-end's dominant cost) become: in-patch separable
+    Gaussian blur, then a dense (K, 39^2) x (39^2, 30*256) product
+    against the precomputed rotation-bin difference matrix, then a
+    per-keypoint bin select. Angle quantization to 2pi/30 is the
+    original ORB paper's steered-BRIEF lookup-table scheme."""
+    K = patches.shape[0]
+    blurred = _blur_patches(patches)[:, 3:-3, 3:-3]      # (K, 39, 39)
+    flat = blurred.reshape(K, -1)
+    D = jnp.asarray(_brief_bin_matrix())
+    diffs = (flat @ D).reshape(K, N_ANGLE_BINS, 256)
+    two_pi = 2.0 * jnp.pi
+    bin_idx = jnp.round(
+        jnp.mod(angles, two_pi) / (two_pi / N_ANGLE_BINS)
+    ).astype(jnp.int32) % N_ANGLE_BINS
+    d = jnp.take_along_axis(diffs, bin_idx[:, None, None], axis=1)[:, 0]
+    return pack_bits(d > 0)
+
+
+def ic_angles_from_patches(patches: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation from pre-gathered (K, 45, 45)
+    UNBLURRED patches (center 31x31 used) — shares the descriptor
+    path's single patch gather instead of a second one."""
+    mask, xs, ys = _ic_mask()
+    m = patches.shape[1] // 2 - HALF_PATCH
+    ctr = patches[:, m:m + 2 * HALF_PATCH + 1, m:m + 2 * HALF_PATCH + 1]
+    w = jnp.asarray(mask)
+    m10 = jnp.sum(ctr * (w * jnp.asarray(xs)), axis=(-2, -1))
+    m01 = jnp.sum(ctr * (w * jnp.asarray(ys)), axis=(-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
 def pack_bits(bits: jax.Array) -> jax.Array:
     """(K, 256) bool -> (K, 8) uint32, bit j of word w = bits[:, 32w + j]."""
     K = bits.shape[0]

@@ -121,6 +121,13 @@ def main(argv=None) -> int:
     cam = {"tum1": TUM1, "tum2": TUM2, "tum3": TUM3,
            "bonn": BONN}[args.camera]
     cfg = load_yaml(args.config) if args.config else SLAMConfig()
+    if args.mono and cfg.loop.fix_scale:
+        # mono scale is unobservable: loop closing must run the Sim3
+        # essential graph (reference bFixScale=false for MONOCULAR)
+        import dataclasses
+
+        cfg = cfg.replace(
+            loop=dataclasses.replace(cfg.loop, fix_scale=False))
 
     slam = SLAMSystem(
         cam, cfg, log_path=args.log,

@@ -66,6 +66,9 @@ class SyntheticWorld:
                                       # leaves the start sector entirely
                                       # (FOV ~1.18 rad at TUM intrinsics)
                                       # then returns — a true revisit
+    sweep_translation: float = 0.15   # sweep positional amplitude (m);
+                                      # raise for monocular runs (mono
+                                      # init/triangulation need parallax)
     box: tuple = (6.0, 4.0, 4.0)      # world extents (x, y, z)
     rng: np.random.Generator = field(init=False)
 
@@ -137,10 +140,11 @@ class SyntheticWorld:
             # the loop-closure revisit scenario (mid-sweep keyframes
             # share no covisibility with the start/end keyframes)
             yaw = self.sweep_yaw * np.sin(np.pi * t)
+            a = self.sweep_translation
             pos = np.array([
-                0.15 * np.sin(np.pi * t),
-                0.04 * np.sin(4 * np.pi * t),
-                0.1 * np.sin(np.pi * t),
+                a * np.sin(np.pi * t),
+                0.27 * a * np.sin(4 * np.pi * t),
+                0.67 * a * np.sin(np.pi * t),
             ])
         elif self.trajectory == "pan":
             # full-turn yaw 0 -> 2pi: the END sector IS the start sector
