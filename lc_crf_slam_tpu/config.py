@@ -29,6 +29,11 @@ class ORBConfig:
     patch_size: int = 31          # orientation/descriptor patch
     edge_margin: int = 19         # keep keypoints this far from the border
     use_pallas_fast: bool = False  # Pallas FAST kernel (see frame.py note)
+    # production descriptor path: "direct" (exact-angle rotated gather,
+    # the accuracy-validated default) or "matmul" (angle-binned MXU
+    # formulation — faster, only safe if the bit-agreement golden test
+    # tests/test_frontend.py passes at the matcher's TH_LOW bar)
+    descriptor_variant: str = "direct"
 
 
 @dataclass(frozen=True)
@@ -232,6 +237,19 @@ class LoopConfig:
     min_bow_matches: int = 20
     min_sim3_inliers: int = 20
     min_total_matches: int = 40        # guided-rematch inliers to accept
+    # seed bars for the pre-guided stages (deliberate redesign of the
+    # reference's gate budget, loopclosing.verify_loop: the decision
+    # rests on the guided stage at the FULL bars above; the early
+    # stages only need to seed a usable correction). 0 = derive as
+    # max(min_*//2, 8) — the historical default, now explicit.
+    seed_bow_matches: int = 0
+    seed_sim3_inliers: int = 0
+    # retrieval gates (KeyFrameDatabase::DetectLoopCandidates analog):
+    # absolute cosine-similarity floor under the covisible-min score,
+    # and the cap on that covisible-min (a KF whose neighbors are all
+    # near-identical must not set an unreachable bar)
+    retrieval_floor: float = 0.35
+    min_score_cap: float = 0.9
     guided_radius_px: float = 8.0      # SearchByProjection window (px)
     ransac_hypotheses: int = 256       # batched Horn hypotheses
     ransac_inlier_chi2: float = 9.210
@@ -252,6 +270,12 @@ class MapConfig:
 
 @dataclass(frozen=True)
 class SLAMConfig:
+    # sensor mode, set by the System entry point actually used
+    # ("rgbd" / "stereo" / "monocular"). Keyframe-insertion policy
+    # constants switch on THIS, not on per-frame data — an RGB-D frame
+    # that transiently has zero valid-depth features must not silently
+    # adopt the mono insertion rules (ADVICE r3).
+    sensor: str = "rgbd"
     orb: ORBConfig = field(default_factory=ORBConfig)
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)

@@ -23,10 +23,12 @@ from ..ops.pallas_fast import fast_score_dual_pallas
 from ..ops.orb import (
     PATCH_MARGIN,
     _gather_patches,
+    brief_descriptors_direct,
     brief_descriptors_matmul,
+    ic_angles,
     ic_angles_from_patches,
 )
-from ..ops.pyramid import build_pyramid, features_per_level
+from ..ops.pyramid import build_pyramid, features_per_level, gaussian_blur
 from ..ops.select import select_keypoints
 
 
@@ -45,6 +47,28 @@ class Frame(NamedTuple):
     @property
     def capacity(self) -> int:
         return self.uv.shape[0]
+
+
+def orient_and_describe(cfg: SLAMConfig, img_l: jax.Array, uv_l: jax.Array):
+    """IC orientation + steered BRIEF-256 for one pyramid level's
+    keypoints — THE production descriptor path (the exact code
+    build_frame runs, factored out so the rotation-invariance golden in
+    tests/test_frontend.py gates whatever variant the config selects).
+
+    "direct" (default): exact-angle rotated gather on the blurred level
+    image — the accuracy-validated reference semantics
+    (computeOrbDescriptor, SURVEY.md §3.1).
+    "matmul": one 45x45 patch gather feeds both the IC angle and an
+    angle-binned MXU difference matmul; faster, but nearest-bin steering
+    costs rotation invariance — opt-in only while the golden passes."""
+    if cfg.orb.descriptor_variant == "matmul":
+        patches_l = _gather_patches(img_l, uv_l, PATCH_MARGIN + 3)
+        ang_l = ic_angles_from_patches(patches_l)
+        return ang_l, brief_descriptors_matmul(patches_l, ang_l)
+    ang_l = ic_angles(img_l, uv_l)
+    return ang_l, brief_descriptors_direct(
+        gaussian_blur(img_l, 7, 2.0), uv_l, ang_l
+    )
 
 
 def build_frame(
@@ -73,14 +97,7 @@ def build_frame(
         uv_l, sc_l, val_l = select_keypoints(
             hi, lo, quotas[l], cell=orb.cell_size, margin=orb.edge_margin
         )
-        # ONE 45x45 patch gather per keypoint feeds both the IC angle
-        # (center 31x31, unblurred) and the matmul BRIEF (in-patch blur
-        # + rotation-bin difference matmul) — replaces a 31x31 patch
-        # gather + full-level Gaussian blur + 512 random samples per
-        # keypoint (the front-end's dominant device cost, ops/orb.py)
-        patches_l = _gather_patches(img_l, uv_l, PATCH_MARGIN + 3)
-        ang_l = ic_angles_from_patches(patches_l)
-        desc_l = brief_descriptors_matmul(patches_l, ang_l)
+        ang_l, desc_l = orient_and_describe(cfg, img_l, uv_l)
         scale = orb.scale_factor**l
         uv_all.append(uv_l.astype(jnp.float32) * scale)
         lvl_all.append(jnp.full((quotas[l],), l, jnp.int32))

@@ -69,7 +69,7 @@ def detect_loop(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> LoopCandidat
     nbr_scores = jnp.where(connected & m.kf_alive, sim, jnp.inf)
     has_nbr = jnp.any(connected & m.kf_alive)
     min_score = jnp.where(has_nbr, jnp.min(nbr_scores), 0.0)
-    min_score = jnp.minimum(min_score, 0.9)
+    min_score = jnp.minimum(min_score, cfg.loop.min_score_cap)
     ids = jnp.arange(m.capacity_kfs)
     eligible = (
         m.kf_alive
@@ -78,7 +78,7 @@ def detect_loop(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> LoopCandidat
         & (jnp.abs(ids - kf_idx) >= cfg.loop.min_kfs_since_last)
         & (ids != kf_idx)
     )
-    floor = jnp.maximum(min_score, 0.35)
+    floor = jnp.maximum(min_score, cfg.loop.retrieval_floor)
     cand_mask = eligible & (sim >= floor)
     # accumulated group score: candidate's own score + scores of fellow
     # candidates inside its covisibility group (reference accScore)
@@ -285,8 +285,11 @@ def verify_loop(
         m.kf_level[kf_idx], mv_b, cfg.pose_opt, cfg.orb.scale_factor,
     )
     # final correction from the refined camera pose (scale unchanged):
-    # S_corr = S_cw_refined^-1 o Tcw_kf
-    S_cw_ref = (S_corr[0], r2.Tcw[:3, :3], S_corr[0] * r2.Tcw[:3, 3])
+    # S_corr = S_cw_refined^-1 o Tcw_kf. The camera Sim3 being refined is
+    # S_cw = Tcw_kf o S_corr^-1, whose scale is S_cw[0] = 1/S_corr[0] —
+    # NOT S_corr[0] (for fix_scale both are 1; for mono confusing them
+    # inverts the applied scale correction and corrupts the translation).
+    S_cw_ref = (S_cw[0], r2.Tcw[:3, :3], S_cw[0] * r2.Tcw[:3, 3])
     S_corr_f = sim3_compose(sim3_inverse(S_cw_ref), sim3_from_se3(Tcw_kf))
     T_corr = se3_from_sim3(S_corr_f)
 
@@ -304,8 +307,10 @@ def verify_loop(
     # projections miss the 8 px windows and the guided count collapses
     # (the perceptual-aliasing test pins the rejection path).
     n_total = jnp.sum(mv_b.astype(jnp.int32))
-    seed_bow = jnp.maximum(cfg.loop.min_bow_matches // 2, 8)
-    seed_inl = jnp.maximum(cfg.loop.min_sim3_inliers // 2, 8)
+    seed_bow = cfg.loop.seed_bow_matches or max(
+        cfg.loop.min_bow_matches // 2, 8)
+    seed_inl = cfg.loop.seed_sim3_inliers or max(
+        cfg.loop.min_sim3_inliers // 2, 8)
     accepted = (
         (cand >= 0)
         & (n_matches >= seed_bow)

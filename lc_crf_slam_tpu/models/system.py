@@ -164,9 +164,24 @@ class SLAMSystem:
         self._spawn_flow_dyn = jax.jit(_spawn_flow_dyn, static_argnums=(0, 1))
         self._last_Tcw = None
 
+    def _set_sensor(self, mode: str) -> None:
+        """Pin the config's sensor mode to the entry point in use (the
+        reference fixes eSensor at System construction). Must happen
+        before the first frame — switching later would both retrace the
+        jitted stages and change keyframe policy mid-run."""
+        if self.cfg.sensor == mode:
+            return
+        if self.initialized:
+            raise RuntimeError(
+                f"sensor mode is {self.cfg.sensor!r}; cannot switch to "
+                f"{mode!r} after initialization"
+            )
+        self.cfg = self.cfg.replace(sensor=mode)
+
     # ------------------------------------------------------------------ api
     def track_rgbd(self, gray, depth, timestamp: float) -> np.ndarray:
         """Process one RGB-D frame; returns Tcw (4, 4) numpy."""
+        self._set_sensor("rgbd")
         gray = jnp.asarray(gray, jnp.float32)
         with self.timer.stage("frontend"):
             frame = self._build_frame(
@@ -181,6 +196,7 @@ class SLAMSystem:
         (models/initializer.py); afterwards the standard pipeline runs
         with mono-only observations and triangulation-backed new points
         (mapping.create_new_points)."""
+        self._set_sensor("monocular")
         gray = jnp.asarray(gray, jnp.float32)
         frame = self._build_frame(
             self.cam, self.cfg, gray, jnp.zeros_like(gray),
@@ -271,6 +287,8 @@ class SLAMSystem:
         extracted in both images; left features gain depth via epipolar
         row matching (ops/stereo.py), then the RGB-D pipeline applies."""
         from ..ops.stereo import stereo_match
+
+        self._set_sensor("stereo")
 
         fl = self._build_frame(
             self.cam, self.cfg, jnp.asarray(gray_left, jnp.float32),

@@ -528,15 +528,23 @@ def track_step(
     # insertion bar instead of the 30-inlier OK gate — with the RGB-D
     # 0.75 ratio, 0.75*ref_matches falls below min_inliers_ok at mono
     # match counts and keyframe insertion deadlocks (the map starves
-    # while tracking decays straight to LOST).
-    is_mono = ~jnp.any(frame.u_right >= 0)
-    weak_ratio = jnp.where(is_mono, tcfg.kf_ref_ratio_mono,
-                           tcfg.kf_ref_ratio)
+    # while tracking decays straight to LOST). The mode comes from the
+    # CONFIG (static — set by the System entry point), never from
+    # per-frame depth availability (ADVICE r3: an RGB-D frame with a
+    # transient all-invalid depth image must keep RGB-D policy).
+    is_mono = cfg.sensor == "monocular"
+    weak_ratio = tcfg.kf_ref_ratio_mono if is_mono else tcfg.kf_ref_ratio
     weak = n_inliers < (
         weak_ratio * ts.ref_matches.astype(jnp.float32)
     ).astype(jnp.int32)
-    insertable = jnp.where(
-        is_mono, n_inliers > tcfg.kf_min_inliers_mono, ok
+    # the reference evaluates NeedNewKeyFrame ONLY when tracking is OK
+    # (Track() gates on bOK) — without the `ok` term a mono frame with
+    # 16-29 inliers is simultaneously LOST and keyframe-insertable, and
+    # inserts a motion-model-extrapolated garbage pose into the map
+    # (observed: the never-green mono Sim3 gate's one detection fired
+    # from exactly such a keyframe)
+    insertable = (
+        ok & (n_inliers > tcfg.kf_min_inliers_mono) if is_mono else ok
     )
     need_kf = insertable & (
         (ts.n_since_kf >= tcfg.max_frames_between_kf) | need_close | weak

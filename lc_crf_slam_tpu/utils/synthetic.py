@@ -69,6 +69,10 @@ class SyntheticWorld:
     sweep_translation: float = 0.15   # sweep positional amplitude (m);
                                       # raise for monocular runs (mono
                                       # init/triangulation need parallax)
+    pan_translation: float = 0.12     # pan positional-drift radius (m);
+                                      # raise for monocular runs (a
+                                      # near-pure rotation gives mono
+                                      # triangulation no baseline)
     box: tuple = (6.0, 4.0, 4.0)      # world extents (x, y, z)
     rng: np.random.Generator = field(init=False)
 
@@ -154,10 +158,11 @@ class SyntheticWorld:
             # positional drift circle so the revisit carries real
             # translation error too
             yaw = 2.0 * np.pi * t
+            a = self.pan_translation
             pos = np.array([
-                0.12 * np.sin(2 * np.pi * t),
-                0.04 * np.sin(4 * np.pi * t),
-                0.12 * (1 - np.cos(2 * np.pi * t)),
+                a * np.sin(2 * np.pi * t),
+                a / 3.0 * np.sin(4 * np.pi * t),
+                a * (1 - np.cos(2 * np.pi * t)),
             ])
         else:  # orbit: small lateral arc, always looking at the cloud
             ang = 0.8 * np.sin(2 * np.pi * t)

@@ -125,6 +125,35 @@ class TestSim3:
         T2 = sim3m.se3_from_sim3(S)
         np.testing.assert_allclose(np.asarray(T2), np.asarray(T), atol=1e-6)
 
+    def test_verify_loop_scale_reconstruction_roundtrip(self):
+        """ADVICE r3 (high): verify_loop refines the SE3 projection of
+        the camera Sim3 S_cw = Tcw o S_corr^-1, then reconstructs the
+        Sim3 via S_cw_ref = (s', R', s' t'). The scale must be S_cw's
+        own (1/S_corr[0]) — using S_corr[0] returned the RECIPROCAL
+        scale correction for mono. Pin the algebra: a NO-OP refinement
+        must round-trip S_corr exactly for s != 1."""
+        xi_T = jnp.asarray(RNG.normal(0, 0.4, (6,)), dtype=jnp.float32)
+        Tcw = se3.exp_se3(xi_T)
+        xi_S = jnp.asarray([0.1, -0.2, 0.05, 0.2, -0.1, 0.15, 0.0],
+                           dtype=jnp.float32)
+        S = sim3m.exp_sim3(xi_S)
+        S_corr = (jnp.asarray(0.8), S[1], S[2])        # true correction
+        S_cw = sim3m.sim3_compose(
+            sim3m.sim3_from_se3(Tcw), sim3m.sim3_inverse(S_corr))
+        np.testing.assert_allclose(float(S_cw[0]), 1.0 / 0.8, rtol=1e-5)
+        # SE3 projection the pose optimizer refines: [R, t/s]
+        Tcw_proj_R = S_cw[1]
+        Tcw_proj_t = S_cw[2] / S_cw[0]
+        # no-op refinement -> reconstruct with S_cw's scale
+        S_cw_ref = (S_cw[0], Tcw_proj_R, S_cw[0] * Tcw_proj_t)
+        S_corr_f = sim3m.sim3_compose(
+            sim3m.sim3_inverse(S_cw_ref), sim3m.sim3_from_se3(Tcw))
+        np.testing.assert_allclose(float(S_corr_f[0]), 0.8, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(S_corr_f[1]), np.asarray(S_corr[1]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(S_corr_f[2]), np.asarray(S_corr[2]), atol=1e-5)
+
 
 class TestCamera:
     cam = TUM3
