@@ -1,8 +1,15 @@
-"""Debug harness for the mono Sim3 loop e2e (never-green gate, VERDICT r3).
+"""Debug harness for the mono Sim3 loop e2e gate.
 
-Replays tests/test_mono_sim3_loop_e2e.py with per-keyframe instrumentation
-of the loop-closing ladder: detection scores/candidates, host consistency
+Replays tests/test_mono_sim3_loop_e2e.py (same world, same config, via
+its make_world/make_config) with per-keyframe instrumentation of the
+loop-closing ladder: detection scores/candidates, host consistency
 streaks, and verification gate values for every candidate tried.
+
+History: this harness pinned the r3 never-green cause — the r3 test's
+forward-facing "loop" trajectory left every keyframe covisibility-
+connected to every other (detection rightly rejects connected KFs) and
+produced ~11 total keyframes against the 10-KF temporal separation
+gate, so detection was structurally impossible on that world.
 """
 
 import os
@@ -17,24 +24,21 @@ import jax.numpy as jnp
 
 jax.config.update("jax_platforms", "cpu")
 
-from lc_crf_slam_tpu.config import LoopConfig, SLAMConfig
-from lc_crf_slam_tpu.geometry.camera import Pinhole
 from lc_crf_slam_tpu.models.system import SLAMSystem
-from lc_crf_slam_tpu.models.loopclosing import detect_loop, verify_loop
+from lc_crf_slam_tpu.models.loopclosing import verify_loop
 from lc_crf_slam_tpu.utils.evaluate import evaluate_ate
-from lc_crf_slam_tpu.utils.synthetic import SyntheticWorld
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-from test_mono_sim3_loop_e2e import _inject_scale_drift, QVGA, N  # noqa: E402
+from test_mono_sim3_loop_e2e import (  # noqa: E402
+    GAMMA, INJECT_FRAME, N, QVGA, _inject_scale_drift, make_config,
+    make_world,
+)
 
 
 def main():
-    world = SyntheticWorld(
-        cam=QVGA, n_frames=N, n_static=1600, n_dynamic=0, seed=3,
-        trajectory="pan", pan_translation=0.35,
-    )
-    cfg = SLAMConfig(loop=LoopConfig(fix_scale=False, min_total_matches=25))
-    slam = SLAMSystem(QVGA, cfg, enable_crf=False, enable_mapping=True)
+    world = make_world()
+    slam = SLAMSystem(QVGA, make_config(), enable_crf=False,
+                      enable_mapping=True)
 
     orig_try = slam._try_close_loop
 
@@ -47,9 +51,9 @@ def main():
         n = int(slam.map.n_kfs)
         top = np.argsort(sim[:n])[::-1][:6]
         print(f"[KF {kf:3d}] n_kfs={n:3d} det_valid={bool(valid)} "
-              f"cands={list(np.asarray(cands))} "
-              f"streaks={[(int(s)) for _, s in slam._consistent_groups]}")
-        print(f"        sim top: "
+              f"cands={[int(c) for c in np.asarray(cands)]} "
+              f"streaks={[int(s) for _, s in slam._consistent_groups]}")
+        print("        sim top: "
               + " ".join(f"{i}:{sim[i]:.3f}" for i in top))
         if bool(valid):
             for c in np.asarray(cands):
@@ -66,28 +70,24 @@ def main():
 
     slam._try_close_loop = traced_try
 
-    gamma = 1.25
     injected = False
     for k in range(N):
-        f = world.frame(k, render=True)
-        slam.track_monocular(f.image, f.timestamp)
+        f = world.frame(k)
+        slam.track_observations_mono(f.uv, f.desc, f.timestamp)
         st = slam.stats[-1] if slam.stats else {}
         if k % 8 == 0 or st.get("status") == 2:
             print(f"frame {k:3d} status={st.get('status')} "
                   f"n_kfs={int(slam.map.n_kfs)} "
                   f"events={st.get('event', '')}")
-        if not injected and slam.initialized and k >= 30:
-            _inject_scale_drift(slam, gamma)
+        if not injected and slam.initialized and k >= INJECT_FRAME:
+            _inject_scale_drift(slam, GAMMA)
             injected = True
             print(f"--- injected scale drift at frame {k} "
                   f"(n_kfs={int(slam.map.n_kfs)})")
     print("loop_log:", slam.loop_log)
     ts_est, pe = slam.get_trajectory()
     gt_t, gt = world.groundtruth()
-    keep = np.asarray([
-        np.any(np.abs(T[:3, 3]) > 1e-9) or i > 2
-        for i, T in enumerate(pe)
-    ])
+    keep = np.asarray([int(r) >= 0 for _, _, r in slam.trajectory])
     res = evaluate_ate(ts_est[keep], pe[keep], gt_t, gt, with_scale=True)
     print("ATE rmse:", res.rmse)
 

@@ -138,6 +138,44 @@ def _worker(n_dev: int) -> dict:
     for _ in range(REPS):
         jax.block_until_ready(label(xyz, ok, u_s, u_d))
     out["crf_s"] = (time.perf_counter() - t0) / REPS
+
+    # --- PIPELINE frames/s with the front-end/flow sharded over the
+    # "frames" mesh axis (SLAMSystem(mesh=...), the north-star metric:
+    # BASELINE.json config 5 asks for the pipeline's own multi-device
+    # story, not just backend kernels). The tracking scan stays
+    # replicated (sequential by nature); the chunk's batched front-end
+    # and forward-LK batches shard across devices.
+    if not os.environ.get("SCALING_SKIP_PIPELINE"):
+        from jax.sharding import Mesh
+        from lc_crf_slam_tpu.geometry.camera import Pinhole
+        from lc_crf_slam_tpu.models.system import SLAMSystem
+        from lc_crf_slam_tpu.utils.synthetic import SyntheticWorld
+
+        QVGA = Pinhole(fx=268.0, fy=270.0, cx=160.0, cy=120.0,
+                       width=320, height=240, bf=20.0)
+        n_pipe = 24
+        world = SyntheticWorld(cam=QVGA, n_frames=n_pipe + 1, n_static=900,
+                               n_dynamic=0, seed=7, trajectory="line",
+                               billboard=True, bb_speed=0.04)
+        pf = [world.frame(k, render=True) for k in range(n_pipe + 1)]
+        grays = np.stack([f.image for f in pf]).astype(np.float32)
+        depths = np.stack([f.depth_image for f in pf]).astype(np.float32)
+        dts = np.arange(n_pipe + 1, dtype=np.float64) / 30.0
+        mesh_p = Mesh(np.asarray(jax.devices()[:n_dev]), ("frames",))
+        slam = SLAMSystem(QVGA, SLAMConfig(), enable_crf=True,
+                          enable_mapping=True,
+                          mesh=mesh_p if n_dev > 1 else None)
+
+        def run_pipe():
+            slam.reset()
+            t0 = time.perf_counter()
+            poses = slam.track_sequence(grays, depths, dts, chunk=8)
+            _ = np.asarray(poses[-1])
+            return time.perf_counter() - t0
+
+        run_pipe()                      # compile
+        best = min(run_pipe() for _ in range(3))
+        out["pipeline_fps"] = n_pipe / best
     return out
 
 
@@ -172,6 +210,13 @@ def main() -> None:
             n = r["n_devices"]
             r["ba_eff"] = rows[0]["ba_s"] / (n * r["ba_s"])
             r["crf_eff"] = rows[0]["crf_s"] / (n * r["crf_s"])
+            if "pipeline_fps" in r and "pipeline_fps" in rows[0]:
+                # pipeline speedup is NOT divided by n: only the
+                # front-end/flow stages shard (Amdahl bound); report
+                # the raw speedup and let the reader judge
+                r["pipeline_speedup"] = (
+                    r["pipeline_fps"] / rows[0]["pipeline_fps"]
+                )
     report = {
         "problem": {
             "ba": {"cams": N_CAMS, "points": N_PTS,

@@ -134,6 +134,17 @@ class MappingConfig:
     # SearchInNeighbors covers ~10+5 neighbors; 4 measured sufficient
     # on the sweep-revisit world — see loopclosing.search_and_fuse)
     fuse_neighbors: int = 4
+    # SearchInNeighbors' REVERSE direction at every mapping pass: fuse
+    # map points into this many top covisible NEIGHBOR keyframes (not
+    # just the new KF). Without it a freshly triangulated point stalls
+    # at 2 observations until a future keyframe happens to re-observe
+    # it, which (a) starves the reference's TrackedMapPoints(minObs=3)
+    # count that NeedNewKeyFrame's thRefRatio trigger reads — measured
+    # mono keyframe-insertion deadlock — and (b) leaves duplicate
+    # points in the neighbors unmerged. interrupt_* applies in
+    # throughput mode's in-scan mapping (InterruptBA rationale).
+    fuse_reverse_neighbors: int = 2
+    interrupt_fuse_reverse_neighbors: int = 1
     covisibility_min_weight: int = 15  # covisibility edge threshold
     max_new_points_per_kf: int = 512
     # grid-stratified spawn: cap new map points per image cell so one
@@ -257,6 +268,18 @@ class LoopConfig:
     pose_graph_iters: int = 20
     covis_edge_weight: int = 100       # strong covisibility edges in ess. graph
     retrieval_topk: int = 8
+    # Global BA off the hot path (reference RunGlobalBundleAdjustment
+    # runs in a detached, abortable thread; SURVEY.md §4.4): after the
+    # pose-graph correction, full-map BA is dispatched as budgeted
+    # SLICES — gba_slice_iters LM iterations per subsequent frame (or
+    # per chunk in throughput mode) until gba_total_iters have run,
+    # then the group-wide SearchAndFuse fires. A frame therefore never
+    # stalls on more than one slice. A new verified loop while slices
+    # remain aborts the pending budget and restarts it (the reference's
+    # mbStopGBA abort). gba_slice_iters = 0 restores the synchronous
+    # r3 behavior (whole budget + fuse inside the loop-closing call).
+    gba_total_iters: int = 6
+    gba_slice_iters: int = 2
 
 
 @dataclass(frozen=True)

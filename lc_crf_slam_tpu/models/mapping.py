@@ -588,6 +588,24 @@ def mapping_step(
     point maintenance -> local BA -> cull points -> cull keyframes."""
     m = create_new_points(cfg, cam, m, kf_idx)
     m = fuse_duplicates(cfg, cam, m, kf_idx)
+    # SearchInNeighbors' reverse direction (reference LocalMapping.cc,
+    # SURVEY.md §4.3 'Fuse into 1st+2nd-order neighbors'): project map
+    # points into the top covisible neighbors too, so fresh
+    # triangulations gain their 3rd+ observations NOW — the live
+    # TrackedMapPoints(minObs) count behind NeedNewKeyFrame's
+    # thRefRatio trigger depends on it (see config.fuse_reverse_neighbors)
+    n_rev = cfg.mapping.fuse_reverse_neighbors
+    if n_rev > 0:
+        covis = covisibility(m)
+        row = covis[kf_idx] * m.kf_alive
+        row = row.at[kf_idx].set(0.0)
+        w_top, nbrs = jax.lax.top_k(row, n_rev)
+        for i in range(n_rev):
+            ok = w_top[i] >= cfg.mapping.covisibility_min_weight
+            # a no-op fuse (re-fusing the current KF) when the neighbor
+            # slot is empty keeps shapes static
+            tgt = jnp.where(ok, nbrs[i], kf_idx)
+            m = fuse_duplicates(cfg, cam, m, tgt)
     m = refresh_point_stats(cfg, cam, m, kf_idx)
     m = local_bundle_adjustment(cfg, cam, m, kf_idx)
     m = cull_points(cfg, m)

@@ -53,9 +53,17 @@ class SLAMSystem:
 
     def __init__(self, cam: Pinhole, cfg: Optional[SLAMConfig] = None,
                  log_path: Optional[str] = None, enable_mapping: bool = True,
-                 enable_crf: Optional[bool] = None):
+                 enable_crf: Optional[bool] = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a "frames" axis —
+        track_sequence then shards the chunk's batched front-end and
+        optical-flow stages (embarrassingly parallel across the chunk's
+        frames) over the mesh's devices; the sequential tracking scan
+        stays replicated and XLA gathers the per-frame products over ICI
+        (SURVEY.md §3.4 DP analog for the pipeline itself). Chunk length
+        should be a multiple of the mesh size."""
         self.cam = cam
         self.cfg = cfg or SLAMConfig()
+        self.mesh = mesh
         self.map: MapState = empty_map(self.cfg)
         self.ts: TrackState = empty_track_state(self.cfg)
         self.enable_mapping = enable_mapping
@@ -106,6 +114,10 @@ class SLAMSystem:
         self._reloc_key = jax.random.PRNGKey(7)
         self.loop_log = []
         self._last_gray = None
+        # pending budgeted global BA (reference's detached GBA thread,
+        # SURVEY.md §4.4): {"left": LM iters remaining, "kf": loop KF}
+        self._gba_pending = None
+        self._gba_slices_run = 0   # observability: slices dispatched
 
         def _flow_evidence(cfg, cam, m, gray_prev, gray_next,
                            last_uv, last_obs, last_valid, Tcw_new):
@@ -363,6 +375,9 @@ class SLAMSystem:
                 mapping=_dc.replace(
                     cfg.mapping,
                     triang_neighbors=cfg.mapping.interrupt_triang_neighbors,
+                    fuse_reverse_neighbors=(
+                        cfg.mapping.interrupt_fuse_reverse_neighbors
+                    ),
                 ))
             # queue-backpressure analog (see TrackingConfig): the chunk's
             # track_step computes need_kf under the throttled minimum gap
@@ -375,6 +390,19 @@ class SLAMSystem:
                     )))
 
             spawn_gate = with_crf and cfg.crf.spawn_flow_gate > 0
+            mesh = self.mesh
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                def shard_frames(x):
+                    return jax.lax.with_sharding_constraint(
+                        x, NamedSharding(
+                            mesh,
+                            PartitionSpec(*(("frames",) + (None,) * (x.ndim - 1))),
+                        )
+                    )
+            else:
+                shard_frames = None
 
             @jax.jit
             def run_chunk(m, ts, grays, depths, valid, tstamps, allow_kf,
@@ -387,10 +415,18 @@ class SLAMSystem:
 
                 # Batched front-end: all chunk frames' pyramids/FAST/BRIEF
                 # in one vmapped program (more lanes per kernel than the
-                # sequential in-scan build).
+                # sequential in-scan build). With a mesh, the batch
+                # shards over the "frames" device axis — each device
+                # extracts its slice of the chunk and XLA all-gathers
+                # the (small) keypoint products for the tracking scan.
+                if shard_frames is not None:
+                    grays = shard_frames(grays)
+                    depths = shard_frames(depths)
                 frames = jax.vmap(
                     lambda g, d: build_frame(cam, cfg, g, d)
                 )(grays, depths)
+                if shard_frames is not None:
+                    frames = jax.tree.map(shard_frames, frames)
 
                 prev_grays = jnp.concatenate(
                     [gray_prev0[None], grays[:-1]], axis=0)
@@ -406,9 +442,17 @@ class SLAMSystem:
                     prev_uvs = jnp.concatenate(
                         [ts.last_uv[None], frames.uv[:-1]], axis=0)
                     ones = jnp.ones(prev_uvs.shape[:2], bool)
-                    flow = jax.vmap(lk_track)(prev_grays, grays,
+                    if shard_frames is not None:
+                        prev_grays_lk = shard_frames(prev_grays)
+                        prev_uvs = shard_frames(prev_uvs)
+                    else:
+                        prev_grays_lk = prev_grays
+                    flow = jax.vmap(lk_track)(prev_grays_lk, grays,
                                               prev_uvs, ones)
                     fwd_uv, fwd_ok = flow.uv_next, flow.ok
+                    if shard_frames is not None:
+                        fwd_uv = shard_frames(fwd_uv)
+                        fwd_ok = shard_frames(fwd_ok)
                 else:
                     K = frames.uv.shape[1]
                     fwd_uv = jnp.zeros_like(frames.uv)
@@ -468,6 +512,30 @@ class SLAMSystem:
                     # frames pay ~nothing for the fused mapping pass
                     m2, ts2 = jax.lax.cond(
                         kf_here, do_kf, lambda a, b: (a, b), m2, ts2)
+                    # per-KEYFRAME loop detection (the reference's
+                    # DetectLoop cadence — r3 detected once per chunk
+                    # for the chunk's last KF only, which stretched the
+                    # 3-consecutive-detection consistency requirement
+                    # from 3 keyframes to ~3 chunks): each in-scan KF
+                    # step emits its own candidates/groups; the host
+                    # advances the consistency streak per KF from the
+                    # chunk's one packed fetch.
+                    if with_loop:
+                        topk = cfg.loop.retrieval_topk
+                        F = m2.capacity_kfs
+                        lc_v, lc_c, lc_g = jax.lax.cond(
+                            kf_here,
+                            lambda: (lambda lc: (
+                                lc.valid, lc.cands, lc.groups))(
+                                detect_loop(cfg, m2, ts2.ref_kf)),
+                            lambda: (jnp.asarray(False),
+                                     jnp.full((topk,), -1, jnp.int32),
+                                     jnp.zeros((topk, F), bool)),
+                        )
+                    else:
+                        lc_v = jnp.asarray(False)
+                        lc_c = jnp.zeros((0,), jnp.int32)
+                        lc_g = jnp.zeros((0, 0), bool)
                     if with_crf:
                         # flow-consistency EMA update at the new pose
                         # (mirrors _flow_evidence, LK precomputed above)
@@ -490,7 +558,8 @@ class SLAMSystem:
                     # time (SaveTrajectoryTUM semantics — composed with
                     # the corrected KF pose at export)
                     Tcr = ts2.Tcw @ se3_inverse(m2.kf_Tcw[ts2.ref_kf])
-                    out = (ts2.Tcw, Tcr, kf_here, ts2.ref_kf, ts2.status)
+                    out = (ts2.Tcw, Tcr, kf_here, ts2.ref_kf, ts2.status,
+                           lc_v & v, lc_c, lc_g)
                     return (sel(m2, m), sel(ts2, ts)), out
 
                 (m, ts), outs = jax.lax.scan(
@@ -498,29 +567,10 @@ class SLAMSystem:
                     (frames, valid, tstamps, fwd_uv, fwd_ok,
                      grays, prev_grays),
                 )
-                Tcw_seq, Tcr_seq, kf_flags, refkf_seq, status_seq = outs
+                (Tcw_seq, Tcr_seq, kf_flags, refkf_seq, status_seq,
+                 lc_valid, lc_cands, lc_groups) = outs
                 if with_crf:
                     m, _ = crf_step(cfg, m, ts.frame_idx)
-                # loop detection folded into the chunk program: the
-                # host's _try_close_loop otherwise dispatches+fetches it
-                # separately — one extra full round trip per chunk on a
-                # tunneled TPU (the BENCH_r02 full-pipeline gap)
-                if with_loop:
-                    any_kf = jnp.any(kf_flags & valid)
-                    topk = cfg.loop.retrieval_topk
-                    F = m.capacity_kfs
-                    lc_valid, lc_cands, lc_groups = jax.lax.cond(
-                        any_kf,
-                        lambda: (lambda lc: (lc.valid, lc.cands, lc.groups))(
-                            detect_loop(cfg, m, ts.ref_kf)),
-                        lambda: (jnp.asarray(False),
-                                 jnp.full((topk,), -1, jnp.int32),
-                                 jnp.zeros((topk, F), bool)),
-                    )
-                else:
-                    lc_valid = jnp.asarray(False)
-                    lc_cands = jnp.zeros((0,), jnp.int32)
-                    lc_groups = jnp.zeros((0, 0), bool)
                 return m, ts, (Tcw_seq, Tcr_seq, kf_flags, refkf_seq,
                                status_seq, ts.ref_kf, m.n_kfs,
                                lc_valid, lc_cands, lc_groups)
@@ -619,10 +669,24 @@ class SLAMSystem:
                 phases.setdefault("reloc_host", 0.0)
                 phases["reloc_host"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
-            if flags[:take].any() and self.enable_loop:
-                self._try_close_loop(
-                    pre=(int(last_kf), bool(lc_valid),
-                         np.asarray(lc_cands), np.asarray(lc_groups)))
+            if self.enable_loop:
+                # per-KEYFRAME consistency/verification cadence (the
+                # reference processes every queued KF; r3 ran one
+                # detection per chunk and needed ~3 chunks of persistent
+                # revisit instead of 3 keyframes). Detections were
+                # computed in-scan against the map as of that keyframe
+                # and ride the chunk's one packed fetch.
+                for k in range(take):
+                    if flags[k]:
+                        # valid=False still goes through: a keyframe
+                        # with no detection CLEARS the consistency
+                        # streak (reference mvConsistentGroups)
+                        self._try_close_loop(
+                            pre=(int(refkf[k]), bool(lc_valid[k]),
+                                 np.asarray(lc_cands[k]),
+                                 np.asarray(lc_groups[k])))
+            # pending global BA advances ONE budgeted slice per chunk
+            self._pump_gba()
             if phases is not None:
                 phases["loop_host"] += time.perf_counter() - t0
             i += take
@@ -633,6 +697,24 @@ class SLAMSystem:
         frame = frame_from_observations(
             uv, depth, desc, self.cfg.map.max_features, self.cam
         )
+        return self._track_frame(frame, timestamp)
+
+    def track_observations_mono(self, uv, desc, timestamp: float) -> np.ndarray:
+        """Observation-level MONOCULAR entry: like track_observations but
+        depthless — two-view initialization, triangulation-only mapping,
+        Sim3 loop closing (cfg.loop.fix_scale=False) all run exactly as
+        in track_monocular; only the image front-end is bypassed."""
+        self._set_sensor("monocular")
+        K = self.cfg.map.max_features
+        frame = frame_from_observations(
+            uv, np.zeros((len(uv),), np.float32), desc, K, self.cam
+        )
+        frame = frame._replace(
+            depth=jnp.zeros_like(frame.depth),
+            u_right=jnp.full_like(frame.u_right, -1.0),
+        )
+        if not self.initialized:
+            return self._try_mono_init(frame, timestamp, gray=None)
         return self._track_frame(frame, timestamp)
 
     # stat names packed into the deferred per-frame device vector
@@ -713,6 +795,10 @@ class SLAMSystem:
                 self._warn_if_at_capacity()
                 if self.enable_loop:
                     self._try_close_loop()
+            # pending global BA advances ONE budgeted slice per frame
+            # (the reference's detached GBA thread steals background
+            # cycles; here the analog is a bounded per-frame stall)
+            self._pump_gba()
             if (
                 self.enable_crf and gray is not None
                 and prev_gray is not None
@@ -825,10 +911,12 @@ class SLAMSystem:
         then verifies candidates geometrically in score order.
 
         `pre`: (kf, valid, cands, groups) detection already fetched by
-        the chunk program (track_sequence folds detect_loop into the
-        chunk's one packed transfer); None dispatches it here."""
+        the chunk program (track_sequence folds per-keyframe detect_loop
+        outputs into the chunk's one packed transfer); None dispatches
+        detection here for the current reference keyframe."""
         if pre is not None:
             kf, valid, cands, groups = pre
+            kf = int(kf)
         else:
             # dispatch detection, then ONE packed device->host fetch —
             # separate scalar fetches are full round trips on a
@@ -856,24 +944,25 @@ class SLAMSystem:
             if streak >= self.cfg.loop.consistency_needed:
                 ready.append(int(c))
         self._consistent_groups = new_groups
+        kf_dev = jnp.asarray(kf, jnp.int32)
         for cand in ready[:3]:
             self._reloc_key, sub = jax.random.split(self._reloc_key)
             cand_dev = jnp.asarray(cand, jnp.int32)
             ver = self._verify_loop(
-                self.cfg, self.cam, self.map, self.ts.ref_kf, cand_dev, sub
+                self.cfg, self.cam, self.map, kf_dev, cand_dev, sub
             )
             if not bool(ver.accepted):
                 continue
             if self.cfg.loop.fix_scale:
                 self.map = self._correct_loop(
-                    self.cfg, self.cam, self.map, self.ts.ref_kf, cand_dev,
+                    self.cfg, self.cam, self.map, kf_dev, cand_dev,
                     ver.T_corr,
                 )
             else:
                 # mono: Sim3 essential graph — the free scale coordinate
                 # absorbs accumulated scale drift (SURVEY.md §4.4)
                 self.map = self._correct_loop_sim3(
-                    self.cfg, self.cam, self.map, self.ts.ref_kf, cand_dev,
+                    self.cfg, self.cam, self.map, kf_dev, cand_dev,
                     ver.T_corr, ver.s_corr,
                 )
             # current pose moved with its keyframe: re-sync tracking state
@@ -881,19 +970,56 @@ class SLAMSystem:
                 Tcw=self.map.kf_Tcw[self.ts.ref_kf], vel=jnp.eye(4)
             )
             # correct_loop ran the immediate current-KF SearchAndFuse;
-            # the group-wide pass must wait until global BA has shrunk
-            # the residual alignment error (see loopclosing.search_and_fuse)
-            self.map = self._global_ba(self.cfg, self.cam, self.map, 6)
-            self.map = self._search_fuse(
-                self.cfg, self.cam, self.map, self.ts.ref_kf,
-                self.cfg.mapping.fuse_neighbors,
-            )
+            # global BA runs OFF the hot path as budgeted slices pumped
+            # by subsequent frames (reference's detached abortable GBA
+            # thread, SURVEY.md §4.4) — a new verified loop overwrites
+            # any remaining budget (mbStopGBA abort). The group-wide
+            # SearchAndFuse waits until the budget drains (it needs the
+            # BA-refined alignment, see loopclosing.search_and_fuse).
+            self._gba_pending = {
+                "left": self.cfg.loop.gba_total_iters, "kf": kf,
+            }
+            if self.cfg.loop.gba_slice_iters <= 0:
+                self._pump_gba(drain=True)      # synchronous fallback
             self._last_loop_kf = kf
             self._consistent_groups = []
-            self.loop_log.append(
-                {"kf": kf, "cand": cand, "inliers": int(ver.n_inliers)}
-            )
+            self.loop_log.append({
+                "kf": kf, "cand": cand, "inliers": int(ver.n_inliers),
+                # refined world-correction scale (1.0 when fix_scale):
+                # rare path, so the scalar fetch is fine — and it pins
+                # the Sim3 scale SENSE in tests (ADVICE r3 #2)
+                "s_corr": float(ver.s_corr),
+            })
             return
+
+    def _pump_gba(self, drain: bool = False) -> None:
+        """Run pending global-BA slices (RunGlobalBundleAdjustment off
+        the hot path): one `gba_slice_iters`-LM-iteration slice per call
+        — a frame never stalls on more than one slice — until the loop's
+        `gba_total_iters` budget drains, then the group-wide
+        SearchAndFuse fires. `drain=True` (trajectory export, shutdown,
+        synchronous fallback) finishes the whole budget now, mirroring
+        the reference joining its GBA thread at Shutdown."""
+        while self._gba_pending is not None:
+            slice_iters = self.cfg.loop.gba_slice_iters
+            if slice_iters <= 0 or drain:
+                slice_iters = max(self.cfg.loop.gba_total_iters, 1)
+            kf = self._gba_pending["kf"]
+            with self.timer.stage("global_ba_slice"):
+                self.map = self._global_ba(
+                    self.cfg, self.cam, self.map, slice_iters
+                )
+            self._gba_slices_run += 1
+            self._gba_pending["left"] -= slice_iters
+            if self._gba_pending["left"] <= 0:
+                self.map = self._search_fuse(
+                    self.cfg, self.cam, self.map,
+                    jnp.asarray(kf, jnp.int32),
+                    self.cfg.mapping.fuse_neighbors,
+                )
+                self._gba_pending = None
+            if not drain:
+                break
 
     # ----------------------------------------------------------- trajectory
     def get_trajectory(self):
@@ -903,6 +1029,9 @@ class SLAMSystem:
         CURRENT pose (System::SaveTrajectoryTUM in the reference): frames
         tracked before a loop closure / global BA inherit the corrected
         keyframe poses rather than their drifted track-time estimates."""
+        # finish any pending budgeted global BA first (the reference
+        # joins its GBA thread before SaveTrajectoryTUM at Shutdown)
+        self._pump_gba(drain=True)
         if not self.trajectory:
             return np.zeros((0,)), np.zeros((0, 4, 4))
         ts = np.array([t for t, _, _ in self.trajectory])
@@ -942,6 +1071,7 @@ class SLAMSystem:
     def save_keyframe_trajectory_tum(self, path: str) -> None:
         from ..utils.io_tum import write_trajectory_tum
 
+        self._pump_gba(drain=True)
         n = int(self.map.n_kfs)
         # reference SaveKeyFrameTrajectoryTUM skips bad (culled) KFs
         alive = np.asarray(self.map.kf_alive[:n])
@@ -971,8 +1101,12 @@ class SLAMSystem:
         self._capacity_warned = False
         self._last_gray = None
         self._last_Tcw = None
+        self._gba_pending = None
+        self._consistent_groups = []
+        self._last_loop_kf = -10**9
 
     def shutdown(self) -> None:
+        self._pump_gba(drain=True)
         self.flush_stats()
         if self._log_fh:
             self._log_fh.close()

@@ -534,8 +534,26 @@ def track_step(
     # transient all-invalid depth image must keep RGB-D policy).
     is_mono = cfg.sensor == "monocular"
     weak_ratio = tcfg.kf_ref_ratio_mono if is_mono else tcfg.kf_ref_ratio
+    # nRefMatches is a LIVE query (reference TrackedMapPoints(nMinObs)
+    # reads current observation counts at decision time), NOT a value
+    # frozen at keyframe insertion: insertion runs BEFORE the mapping
+    # pass, so a frozen count misses every point the reference KF gains
+    # through triangulation and fusion. For mono that froze ref_matches
+    # near zero (new KFs' points all had < 3 obs yet), the thRefRatio
+    # trigger fired only below the 30-inlier OK bar, and keyframe
+    # insertion deadlocked while the pan starved the map (measured:
+    # LOST at frame ~68 with KFs 8 frames apart).
+    ref_obs = m.kf_obs[ts.ref_kf]
+    ref_min_obs = jnp.where(m.n_kfs <= 2, 2, 3)
+    ref_live = (
+        (ref_obs >= 0)
+        & m.kf_valid[ts.ref_kf]
+        & m.p_alive[jnp.maximum(ref_obs, 0)]
+        & (m.p_n_obs[jnp.maximum(ref_obs, 0)] >= ref_min_obs)
+    )
+    n_ref_matches = jnp.sum(ref_live.astype(jnp.int32))
     weak = n_inliers < (
-        weak_ratio * ts.ref_matches.astype(jnp.float32)
+        weak_ratio * n_ref_matches.astype(jnp.float32)
     ).astype(jnp.int32)
     # the reference evaluates NeedNewKeyFrame ONLY when tracking is OK
     # (Track() gates on bOK) — without the `ok` term a mono frame with

@@ -73,6 +73,20 @@ class SyntheticWorld:
                                       # raise for monocular runs (a
                                       # near-pure rotation gives mono
                                       # triangulation no baseline)
+    pan_leadin: float = 0.0           # fraction of frames spent in a
+                                      # translation-only bootstrap leg
+                                      # before the pan begins: monocular
+                                      # two-view init needs parallax,
+                                      # and a pan's yaw outruns the init
+                                      # matching window before enough
+                                      # baseline accumulates
+    pan_turns: float = 1.0            # total pan yaw in turns (2*pi);
+                                      # >1 keeps re-viewing the start
+                                      # sector after closing the circle,
+                                      # giving loop detection the
+                                      # multi-keyframe revisit streak
+                                      # the reference's consistency
+                                      # check requires
     box: tuple = (6.0, 4.0, 4.0)      # world extents (x, y, z)
     rng: np.random.Generator = field(init=False)
 
@@ -151,19 +165,33 @@ class SyntheticWorld:
                 0.67 * a * np.sin(np.pi * t),
             ])
         elif self.trajectory == "pan":
-            # full-turn yaw 0 -> 2pi: the END sector IS the start sector
-            # but is reached without retracing (the canonical loop-
-            # closure geometry — the return cannot reconnect through
-            # covisibility, only through loop detection), with a small
-            # positional drift circle so the revisit carries real
-            # translation error too
-            yaw = 2.0 * np.pi * t
+            # full-turn yaw 0 -> 2pi*pan_turns: the END sector IS the
+            # start sector but is reached without retracing (the
+            # canonical loop-closure geometry — the return cannot
+            # reconnect through covisibility, only through loop
+            # detection), with a small positional drift circle so the
+            # revisit carries real translation error too. An optional
+            # translation-only lead-in leg precedes the pan (monocular
+            # two-view init needs parallax before yaw accumulates).
             a = self.pan_translation
-            pos = np.array([
-                a * np.sin(2 * np.pi * t),
-                a / 3.0 * np.sin(4 * np.pi * t),
-                a * (1 - np.cos(2 * np.pi * t)),
-            ])
+            L = self.pan_leadin
+            if t < L:
+                s = t / max(L, 1e-9)
+                yaw = 0.0
+                pos = np.array([
+                    a * (s - 1.0),
+                    a / 6.0 * np.sin(2 * np.pi * s),
+                    0.0,
+                ])
+            else:
+                s = (t - L) / max(1.0 - L, 1e-9)
+                ang = 2.0 * np.pi * self.pan_turns * s
+                yaw = ang
+                pos = np.array([
+                    a * np.sin(ang),
+                    a / 3.0 * np.sin(2 * ang),
+                    a * (1 - np.cos(ang)),
+                ])
         else:  # orbit: small lateral arc, always looking at the cloud
             ang = 0.8 * np.sin(2 * np.pi * t)
             pos = np.array([0.8 * np.sin(ang), 0.1 * np.sin(4 * np.pi * t), 0.3 * (1 - np.cos(ang))])

@@ -1,0 +1,70 @@
+"""Loop closing through the THROUGHPUT path (track_sequence fused
+chunks) at the per-keyframe detection cadence.
+
+VERDICT r3 ask #6: the r3 chunk program ran detect_loop once per chunk
+for the chunk's LAST keyframe, so the reference's 3-consecutive-
+detection consistency requirement (mnCovisibilityConsistencyTh,
+LoopClosing::DetectLoop — SURVEY.md §4.4) stretched from 3 keyframes to
+~3 chunks (~45 frames at chunk=15). The chunk scan now emits detection
+candidates/groups for EVERY in-scan keyframe and the host advances the
+consistency streak per keyframe, restoring the reference cadence.
+
+This gate replays the rendered sweep-revisit world through
+track_sequence at the bench's own chunk=15 and requires the loop to
+close — with per-chunk detection the revisit's streak cannot reach 3
+before the sequence ends, so the gate pins the per-KF cadence.
+"""
+
+import dataclasses as _dc
+
+import numpy as np
+import pytest
+
+from lc_crf_slam_tpu.config import SLAMConfig
+from lc_crf_slam_tpu.geometry.camera import Pinhole
+from lc_crf_slam_tpu.models.system import SLAMSystem
+from lc_crf_slam_tpu.utils.evaluate import evaluate_ate
+from lc_crf_slam_tpu.utils.synthetic import SyntheticWorld
+
+QVGA = Pinhole(fx=268.0, fy=270.0, cx=160.0, cy=120.0,
+               width=320, height=240, bf=20.0)
+N = 96
+
+
+@pytest.mark.slow
+def test_sweep_loop_closes_in_throughput_mode():
+    world = SyntheticWorld(
+        cam=QVGA, n_frames=N, n_static=1600, n_dynamic=0, seed=3,
+        trajectory="sweep",
+    )
+    # same config rationale as test_loopclosure_render_e2e: the reverse
+    # neighbor fuse self-heals this small-drift synthetic world's
+    # covisibility before the loop path is ever needed (detection
+    # rightly excludes connected candidates), so the loop gate disables
+    # it to exercise the loop machinery itself
+    cfg = SLAMConfig()
+    cfg = cfg.replace(mapping=_dc.replace(
+        cfg.mapping, fuse_reverse_neighbors=0,
+        interrupt_fuse_reverse_neighbors=0))
+    slam = SLAMSystem(QVGA, cfg, enable_crf=True, enable_mapping=True)
+
+    frames = [world.frame(k, render=True) for k in range(N)]
+    grays = np.stack([f.image for f in frames]).astype(np.float32)
+    depths = np.stack([f.depth_image for f in frames]).astype(np.float32)
+    ts = np.asarray([f.timestamp for f in frames])
+
+    poses = slam.track_sequence(grays, depths, ts, chunk=15)
+    assert np.isfinite(poses).all()
+
+    # the revisit closed through the loop ladder INSIDE throughput mode
+    assert len(slam.loop_log) >= 1, slam.loop_log
+
+    ts_est, pe = slam.get_trajectory()
+    gt_t, gt = world.groundtruth()
+    ate = evaluate_ate(ts_est, pe, gt_t, gt).rmse
+    # throughput mode trades some per-frame accuracy for fps
+    # (InterruptBA schedule, chunked mapping cadence) but a closed loop
+    # must still leave a clean trajectory
+    assert ate < 0.10, ate
+    lost = sum(1 for s in slam.stats if s.get("status", 1) != 1)
+    assert lost == 0, lost

@@ -204,6 +204,72 @@ class TestGlobalBA:
         )
 
 
+class TestAsyncGlobalBA:
+    """Global BA off the hot path (reference RunGlobalBundleAdjustment
+    detached thread, SURVEY.md §4.4): after a loop correction the budget
+    runs as bounded per-frame slices, never all at once."""
+
+    def _noisy_system(self, cfg):
+        m, kf_loop, *_ = _drifted_loop_map(cfg)
+        key = jax.random.PRNGKey(3)
+        noise = 0.03 * jax.random.normal(key, m.p_xyz.shape)
+        m = m._replace(
+            p_xyz=jnp.where(m.p_alive[:, None], m.p_xyz + noise, m.p_xyz)
+        )
+        slam = SLAMSystem(TUM3, cfg, enable_mapping=False, enable_crf=False)
+        slam.map = m
+        slam.initialized = True
+        return slam, int(kf_loop)
+
+    def test_slices_are_bounded_and_drain(self):
+        cfg = SLAMConfig()
+        slam, kf_loop = self._noisy_system(cfg)
+        before = np.asarray(slam.map.p_xyz)
+        slam._gba_pending = {"left": cfg.loop.gba_total_iters,
+                             "kf": kf_loop}
+        pumps = 0
+        while slam._gba_pending is not None:
+            left0 = slam._gba_pending["left"]
+            slam._pump_gba()          # ONE slice — a frame's worth
+            pumps += 1
+            assert pumps <= 10
+            # each pump consumed exactly one slice of the budget
+            if slam._gba_pending is not None:
+                assert left0 - slam._gba_pending["left"] == \
+                    cfg.loop.gba_slice_iters
+        expect = -(-cfg.loop.gba_total_iters // cfg.loop.gba_slice_iters)
+        assert pumps == expect, (pumps, expect)
+        assert slam._gba_slices_run == expect
+        # the sliced budget actually refined the map (same quality bar
+        # as TestGlobalBA): perturbed points moved
+        after = np.asarray(slam.map.p_xyz)
+        alive = np.asarray(slam.map.p_alive)
+        assert np.median(
+            np.linalg.norm(after - before, axis=-1)[alive]) > 1e-4
+
+    def test_trajectory_export_drains_pending_budget(self):
+        """SaveTrajectoryTUM must not export half-refined poses: the
+        reference joins its GBA thread at Shutdown before saving."""
+        cfg = SLAMConfig()
+        slam, kf_loop = self._noisy_system(cfg)
+        slam.trajectory.append((0.0, np.eye(4), 0))
+        slam._gba_pending = {"left": cfg.loop.gba_total_iters,
+                             "kf": kf_loop}
+        slam.get_trajectory()
+        assert slam._gba_pending is None
+
+    def test_sync_fallback_runs_whole_budget_inline(self):
+        from lc_crf_slam_tpu.config import LoopConfig
+
+        cfg = SLAMConfig(loop=LoopConfig(gba_slice_iters=0))
+        slam, kf_loop = self._noisy_system(cfg)
+        slam._gba_pending = {"left": cfg.loop.gba_total_iters,
+                             "kf": kf_loop}
+        slam._pump_gba()   # slice_iters=0 => drain in one call
+        assert slam._gba_pending is None
+        assert slam._gba_slices_run == 1
+
+
 @pytest.mark.slow
 class TestRelocalization:
     def test_recovers_after_teleport(self):

@@ -41,8 +41,27 @@ def _run(billboard: bool):
     # are even visible (measured ~35 in-image vs ~63 without the
     # mover) — a world property, not gate tuning; every other gate
     # stays stock.
+    #
+    # Both variants disable the reverse-direction neighbor fuse
+    # (SearchInNeighbors' second pass, mapping.fuse_reverse_neighbors).
+    # With it on, this synthetic world's drift is small enough that the
+    # returning camera's fresh points fuse straight into the start-
+    # sector keyframes: the covisibility graph reconnects (measured
+    # weight 40+ to KFs 0-7 by the revisit) and DetectLoop — which per
+    # the reference rightly EXCLUDES connected candidates — never needs
+    # to fire; the run ends with a clean ATE (0.015) but an empty
+    # loop_log. That self-healing is faithful reference behavior for
+    # small drift, but this gate exists to exercise the loop-closing
+    # ladder, so the fuse path that shortcuts it is turned off here
+    # (real sequences drift beyond the fuse windows; the fuse default
+    # stays on in production).
+    import dataclasses as _dc
+
     cfg = SLAMConfig(loop=LoopConfig(min_total_matches=25)) if billboard \
         else SLAMConfig()
+    cfg = cfg.replace(mapping=_dc.replace(
+        cfg.mapping, fuse_reverse_neighbors=0,
+        interrupt_fuse_reverse_neighbors=0))
     slam = SLAMSystem(QVGA, cfg, enable_crf=True,
                       enable_mapping=True)
     for k in range(N):
