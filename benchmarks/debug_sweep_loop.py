@@ -92,13 +92,21 @@ def main():
 
     slam._try_close_loop = traced_try
 
-    for k in range(N):
-        f = world.frame(k, render=True)
-        slam.track_rgbd(f.image, f.depth_image, f.timestamp)
-        st = slam.stats[-1] if slam.stats else {}
-        if k % 8 == 0 or st.get("status") != 1:
-            print(f"frame {k:3d} status={st.get('status')} "
-                  f"n_kfs={int(slam.map.n_kfs)}")
+    if os.environ.get("THROUGHPUT"):
+        print("### THROUGHPUT mode (chunk=15)")
+        pf = [world.frame(k, render=True) for k in range(N)]
+        grays = np.stack([f.image for f in pf]).astype(np.float32)
+        depths = np.stack([f.depth_image for f in pf]).astype(np.float32)
+        tss = np.asarray([f.timestamp for f in pf])
+        slam.track_sequence(grays, depths, tss, chunk=15)
+    else:
+        for k in range(N):
+            f = world.frame(k, render=True)
+            slam.track_rgbd(f.image, f.depth_image, f.timestamp)
+            st = slam.stats[-1] if slam.stats else {}
+            if k % 8 == 0 or st.get("status") != 1:
+                print(f"frame {k:3d} status={st.get('status')} "
+                      f"n_kfs={int(slam.map.n_kfs)}")
     print("loop_log:", slam.loop_log)
     print("kf_log len:", len(slam.kf_log))
     ts_est, pe = slam.get_trajectory()

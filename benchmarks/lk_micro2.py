@@ -53,3 +53,27 @@ timed("iters=1", iters=1)
 timed("half_win=5", half_win=5)
 timed("levels=2 iters=4", n_levels=2, iters=4)
 timed("levels=2 iters=4 win=5", n_levels=2, iters=4, half_win=5)
+
+
+def timed_scan(label, **kw):
+    @jax.jit
+    def fn(gp, gn, u, o):
+        def step(_, inp):
+            a, b, c, d = inp
+            return None, lk_track(a, b, c, d, **kw)
+        _, out = jax.lax.scan(step, None, (gp, gn, u, o))
+        return out
+    out = fn(grays[:-1], grays[1:], uvs, ok)
+    _ = np.asarray(out.uv_next)[:1, :1]
+    t0 = time.perf_counter()
+    for _i in range(3):
+        out = fn(grays[:-1], grays[1:], uvs, ok)
+    _ = np.asarray(out.uv_next)[:1, :1]
+    dt = (time.perf_counter() - t0) / 3
+    print(f"{label:36s} {dt*1e3:7.1f} ms/30pairs = {dt/N*1e3:5.2f} ms/pair",
+          flush=True)
+
+
+if __name__ == "__main__":
+    timed_scan("SCAN baseline (L3 w7 it8)")
+    timed_scan("SCAN levels=2", n_levels=2)

@@ -144,7 +144,13 @@ class MappingConfig:
     # points in the neighbors unmerged. interrupt_* applies in
     # throughput mode's in-scan mapping (InterruptBA rationale).
     fuse_reverse_neighbors: int = 2
-    interrupt_fuse_reverse_neighbors: int = 1
+    # throughput mode's in-scan mapping skips the reverse pass by
+    # default (InterruptBA load-shedding rationale: it exists to give
+    # fresh points their 3rd observation QUICKLY for the keyframe-
+    # policy counters, and in-scan keyframes arrive so densely that the
+    # next forward fuse covers it within a few frames; measured no
+    # accuracy change on the throughput e2e gates, ~10 ms/KF saved)
+    interrupt_fuse_reverse_neighbors: int = 0
     covisibility_min_weight: int = 15  # covisibility edge threshold
     max_new_points_per_kf: int = 512
     # grid-stratified spawn: cap new map points per image cell so one
@@ -236,6 +242,15 @@ class CRFConfig:
     flow_decay: float = 0.5         # EMA decay for the (short-term) flow
                                     # cue; faster than history_decay so
                                     # the solve gate reacts in ~2 frames
+    # LK pyramid depth for the flow-evidence tracks. Each level costs a
+    # fixed ~3 ms/frame-pair on v5e regardless of resolution (the
+    # per-keypoint window extraction dominates, benchmarks/lk_micro2),
+    # and the capture range is ±SEARCH_RAD px per level of the
+    # coarse-to-fine chain (ADVICE r3: ±42 px at 3 levels, ±18 at 2).
+    # Inter-frame feature motion on 30 fps indoor sequences is well
+    # inside ±18 px, but 3 stays the default for safety; the bench
+    # profile may drop to 2.
+    flow_levels: int = 3
 
 
 @dataclass(frozen=True)

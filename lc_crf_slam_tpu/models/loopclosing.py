@@ -62,7 +62,15 @@ def detect_loop(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> LoopCandidat
     sim = m.kf_emb @ m.kf_emb[kf_idx]                   # (F,)
     covis = covisibility(m)
     row = covis[kf_idx]
-    connected = row > 0
+    # reference GetConnectedKeyFrames: only weight-THRESHOLDED edges
+    # count as connected (UpdateConnections keeps edges with >= 15
+    # shared observations). `row > 0` was stricter and blocked the
+    # revisit: a handful of stray shared points (triangulation /
+    # fusion stragglers, w=1..14) excluded exactly the loop candidates
+    # at the keyframes where the revisit begins (measured on the
+    # throughput sweep world: start-sector weights 1-14 at the 2
+    # keyframes whose detections had to seed the consistency streak).
+    connected = row >= cfg.mapping.covisibility_min_weight
     # reference minScore: lowest similarity among covisible neighbors
     # (capped: a KF with no / perfectly-similar neighbors must not set an
     # unreachable bar)

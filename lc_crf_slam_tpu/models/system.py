@@ -127,7 +127,8 @@ class SLAMSystem:
             points' actual flow departs from the egomotion prediction
             (SURVEY.md §4.5 optical-flow term)."""
             use = last_valid & (last_obs >= 0)
-            res = lk_track(gray_prev, gray_next, last_uv, use)
+            res = lk_track(gray_prev, gray_next, last_uv, use,
+                           n_levels=cfg.crf.flow_levels)
             pw = m.p_xyz[jnp.maximum(last_obs, 0)]
             pc = pw @ Tcw_new[:3, :3].T + Tcw_new[:3, 3]
             z = jnp.maximum(pc[:, 2], 1e-6)
@@ -168,7 +169,8 @@ class SLAMSystem:
                  cam.fy * pprev[:, 1] / z + cam.cy], axis=-1,
             )
             use = valid & (depth > 0)
-            res = lk_track(gray_cur, gray_prev, uv, use)
+            res = lk_track(gray_cur, gray_prev, uv, use,
+                           n_levels=cfg.crf.flow_levels)
             mism = jnp.linalg.norm(res.uv_next - uv_pred, axis=-1)
             return (use & res.ok & (pprev[:, 2] > 0.05)
                     & (mism > cfg.crf.spawn_flow_gate))
@@ -413,20 +415,28 @@ class SLAMSystem:
                 # throughput API latency-bound (the reference's mapping
                 # thread analog, fused into the same device program)
 
-                # Batched front-end: all chunk frames' pyramids/FAST/BRIEF
-                # in one vmapped program (more lanes per kernel than the
-                # sequential in-scan build). With a mesh, the batch
-                # shards over the "frames" device axis — each device
-                # extracts its slice of the chunk and XLA all-gathers
-                # the (small) keypoint products for the tracking scan.
+                # Chunk front-end: all frames' pyramids/FAST/BRIEF up
+                # front. With a mesh the batch VMAPs and shards over the
+                # "frames" device axis — each device extracts its slice
+                # of the chunk and XLA all-gathers the (small) keypoint
+                # products for the tracking scan. Single-device the
+                # front-end SCANS instead: the per-keypoint dynamic ops
+                # (patch slices, grid top-k) lower to markedly slower
+                # batched gathers under vmap (measured on v5e,
+                # benchmarks/fe_micro.py: 6.3 ms/frame scanned vs 10.4
+                # vmapped for the identical 30-frame front-end).
                 if shard_frames is not None:
                     grays = shard_frames(grays)
                     depths = shard_frames(depths)
-                frames = jax.vmap(
-                    lambda g, d: build_frame(cam, cfg, g, d)
-                )(grays, depths)
-                if shard_frames is not None:
+                    frames = jax.vmap(
+                        lambda g, d: build_frame(cam, cfg, g, d)
+                    )(grays, depths)
                     frames = jax.tree.map(shard_frames, frames)
+                else:
+                    _, frames = jax.lax.scan(
+                        lambda _, gd: (None, build_frame(cam, cfg, *gd)),
+                        None, (grays, depths),
+                    )
 
                 prev_grays = jnp.concatenate(
                     [gray_prev0[None], grays[:-1]], axis=0)
@@ -443,16 +453,27 @@ class SLAMSystem:
                         [ts.last_uv[None], frames.uv[:-1]], axis=0)
                     ones = jnp.ones(prev_uvs.shape[:2], bool)
                     if shard_frames is not None:
+                        # mesh path: vmap + shard over the frames axis
                         prev_grays_lk = shard_frames(prev_grays)
                         prev_uvs = shard_frames(prev_uvs)
+                        flow = jax.vmap(
+                            lambda a, b, c, d: lk_track(
+                                a, b, c, d,
+                                n_levels=cfg.crf.flow_levels)
+                        )(prev_grays_lk, grays, prev_uvs, ones)
+                        fwd_uv = shard_frames(flow.uv_next)
+                        fwd_ok = shard_frames(flow.ok)
                     else:
-                        prev_grays_lk = prev_grays
-                    flow = jax.vmap(lk_track)(prev_grays_lk, grays,
-                                              prev_uvs, ones)
-                    fwd_uv, fwd_ok = flow.uv_next, flow.ok
-                    if shard_frames is not None:
-                        fwd_uv = shard_frames(fwd_uv)
-                        fwd_ok = shard_frames(fwd_ok)
+                        # single device: scan — like the front-end, the
+                        # per-keypoint window slices lower to slower
+                        # batched gathers under vmap (measured 9.7
+                        # ms/pair scanned vs 14.5 vmapped on v5e)
+                        _, flow = jax.lax.scan(
+                            lambda _, x: (None, lk_track(
+                                *x, n_levels=cfg.crf.flow_levels)),
+                            None, (prev_grays, grays, prev_uvs, ones),
+                        )
+                        fwd_uv, fwd_ok = flow.uv_next, flow.ok
                 else:
                     K = frames.uv.shape[1]
                     fwd_uv = jnp.zeros_like(frames.uv)
@@ -487,6 +508,7 @@ class SLAMSystem:
                             res_b = lk_track(
                                 g_cur, g_prev, fr.uv,
                                 fr.valid & (fr.depth > 0),
+                                n_levels=cfg.crf.flow_levels,
                             )
                             Twc = se3_inverse(ts2.Tcw)
                             x = (fr.uv[:, 0] - cam.cx) / cam.fx * fr.depth
