@@ -55,12 +55,15 @@ def orient_and_describe(cfg: SLAMConfig, img_l: jax.Array, uv_l: jax.Array):
     build_frame runs, factored out so the rotation-invariance golden in
     tests/test_frontend.py gates whatever variant the config selects).
 
-    "direct" (default): exact-angle rotated gather on the blurred level
-    image — the accuracy-validated reference semantics
-    (computeOrbDescriptor, SURVEY.md §3.1).
-    "matmul": one 45x45 patch gather feeds both the IC angle and an
-    angle-binned MXU difference matmul; faster, but nearest-bin steering
-    costs rotation invariance — opt-in only while the golden passes."""
+    "matmul" (default): one 45x45 patch gather feeds both the IC angle
+    and an angle-binned MXU difference matmul with bilinear sample taps
+    + angular interpolation between adjacent bins — fastest, and the
+    better sampler (rotated self-distance median 15.5 vs direct's 21;
+    see ops/orb.py _brief_bin_matrix).
+    "direct": exact-angle rotated gather on the blurred level image —
+    the reference semantics (computeOrbDescriptor, SURVEY.md §3.1),
+    kept as the validation sampler the agreement golden compares
+    against."""
     if cfg.orb.descriptor_variant == "matmul":
         patches_l = _gather_patches(img_l, uv_l, PATCH_MARGIN + 3)
         ang_l = ic_angles_from_patches(patches_l)

