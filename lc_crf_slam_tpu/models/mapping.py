@@ -470,7 +470,6 @@ def create_new_points(
 
 
 REFRESH_KFS = 12      # observing-KF window per maintenance pass
-REFRESH_OBS = 8       # descriptor observations kept per point
 REFRESH_POINTS = BA_POINTS
 
 
@@ -485,14 +484,13 @@ def refresh_point_stats(
     normal / scale range every time observations change
     (MapPoint.cc, SURVEY.md §3.1); freezing them at creation degrades
     matching after viewpoint change and fusion. Here each mapping pass
-    gathers up to REFRESH_OBS observations per local point from the
-    covisibility window's keyframes and recomputes all three. Deviation:
+    gathers each local point's observations across the covisibility
+    window's keyframes and recomputes all three. Deviation:
     the scale range uses the first gathered observation (the new KF or
     its closest covisible) instead of the point's creation KF — the same
     quantity after any real viewpoint drift."""
     W = REFRESH_KFS
     Np = REFRESH_POINTS
-    R = REFRESH_OBS
     P = m.capacity_points
     K = m.kf_obs.shape[1]
 
@@ -516,59 +514,53 @@ def refresh_point_stats(
         jnp.where(pok, pids, P)
     ].set(jnp.where(pok, jnp.arange(Np, dtype=jnp.int32), Np))
 
-    # gather up to R observations per point: per-KF scatter with a
-    # running per-point rank counter (a point observes each KF at most
-    # once, so ranks within one KF never collide)
-    descs = jnp.zeros((Np + 1, R, 8), jnp.uint32)
-    levels = jnp.zeros((Np + 1, R), jnp.int32)
-    centers = jnp.zeros((Np + 1, R, 3), jnp.float32)
-    has = jnp.zeros((Np + 1, R), bool)
-    count = jnp.zeros((Np + 1,), jnp.int32)
+    # Observation tables laid out PER WINDOW ROUND (w-major): one
+    # scatter per array instead of the r4 formulation's W=12 sequential
+    # scatter rounds with a running per-point rank counter (measured
+    # ~16 ms device of the mapping pass). A point observes each window
+    # KF at most once, so (w, slot) pairs never collide; per-round
+    # camera centers broadcast with NO scatter at all. The old R=8
+    # observation cap becomes "all W window KFs" — strictly more
+    # faithful to MapPoint::ComputeDistinctiveDescriptors.
+    slots = jnp.where(ovalid, slot_of[jnp.where(ovalid, obs, P)], Np)
+    w_idx = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[:, None], slots.shape)
+    descs = jnp.zeros((W, Np + 1, 8), jnp.uint32).at[
+        w_idx, slots].set(m.kf_desc[kf_safe], mode="drop")
+    levels = jnp.zeros((W, Np + 1), jnp.int32).at[
+        w_idx, slots].set(m.kf_level[kf_safe], mode="drop")
+    has = jnp.zeros((W, Np + 1), bool).at[
+        w_idx, slots].set(slots < Np, mode="drop")
+    descs, levels, has = descs[:, :Np], levels[:, :Np], has[:, :Np]
     Twc_all = jax.vmap(se3_inverse)(m.kf_Tcw)
-    for w in range(W):
-        slots = jnp.where(ovalid[w], slot_of[jnp.where(
-            ovalid[w], obs[w], P)], Np)                    # (K,)
-        rank = count[slots]                                # (K,)
-        ok_w = (slots < Np) & (rank < R)
-        s = jnp.where(ok_w, slots, Np)
-        r_ = jnp.where(ok_w, rank, 0)
-        descs = descs.at[s, r_].set(
-            jnp.where(ok_w[:, None], m.kf_desc[kf_safe[w]], descs[s, r_]))
-        levels = levels.at[s, r_].set(
-            jnp.where(ok_w, m.kf_level[kf_safe[w]], levels[s, r_]))
-        cw = Twc_all[kf_safe[w], :3, 3]
-        centers = centers.at[s, r_].set(
-            jnp.where(ok_w[:, None], cw[None, :], centers[s, r_]))
-        has = has.at[s, r_].set(ok_w | has[s, r_])
-        count = count.at[s].add(ok_w.astype(jnp.int32))
-
-    descs, levels, centers, has = (
-        descs[:Np], levels[:Np], centers[:Np], has[:Np])
-    n_got = jnp.sum(has.astype(jnp.int32), axis=1)         # (Np,)
+    centers_w = Twc_all[kf_safe, :3, 3]                    # (W, 3)
+    n_got = jnp.sum(has.astype(jnp.int32), axis=0)         # (Np,)
 
     # representative descriptor: min sum-of-Hamming to fellow observations
-    x = descs[:, :, None, :] ^ descs[:, None, :, :]        # (Np, R, R, 8)
+    x = descs[:, None, :, :] ^ descs[None, :, :, :]        # (W, W, Np, 8)
     d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
-    pair_ok = has[:, :, None] & has[:, None, :]
-    dsum = jnp.sum(jnp.where(pair_ok, d, 0), axis=2)       # (Np, R)
+    pair_ok = has[:, None, :] & has[None, :, :]
+    dsum = jnp.sum(jnp.where(pair_ok, d, 0), axis=1)       # (W, Np)
     dsum = jnp.where(has, dsum, jnp.iinfo(jnp.int32).max)
-    rep = jnp.argmin(dsum, axis=1)                         # (Np,)
-    rep_desc = jnp.take_along_axis(
-        descs, rep[:, None, None].repeat(8, -1), axis=1)[:, 0]
+    rep = jnp.argmin(dsum, axis=0)                         # (Np,)
+    rep_desc = jnp.take_along_axis(descs, rep[None, :, None], axis=0)[0]
 
     # viewing normal: mean of unit point->camera directions
     pw = m.p_xyz[pids]                                     # (Np, 3)
-    dirs = centers - pw[:, None, :]
+    dirs = centers_w[:, None, :] - pw[None, :, :]          # (W, Np, 3)
     dirs = dirs / jnp.maximum(
         jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
-    normal = jnp.sum(jnp.where(has[:, :, None], dirs, 0.0), axis=1)
+    normal = jnp.sum(jnp.where(has[:, :, None], dirs, 0.0), axis=0)
     normal = normal / jnp.maximum(
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
 
-    # scale-invariance range from the first gathered observation
-    dist0 = jnp.linalg.norm(pw - centers[:, 0], axis=-1)
-    lvl0 = levels[:, 0].astype(jnp.float32)
-    max_d = dist0 * cfg.orb.scale_factor ** lvl0
+    # scale-invariance range from the FIRST observing window round
+    # (the new KF or its closest covisible, as before)
+    first_w = jnp.argmax(has, axis=0)                      # (Np,)
+    c0 = centers_w[first_w]                                # (Np, 3)
+    dist0 = jnp.linalg.norm(pw - c0, axis=-1)
+    lvl0 = jnp.take_along_axis(levels, first_w[None, :], axis=0)[0]
+    max_d = dist0 * cfg.orb.scale_factor ** lvl0.astype(jnp.float32)
     min_d = max_d / cfg.orb.scale_factor ** (cfg.orb.n_levels - 1)
 
     upd = pok & (n_got >= 2)

