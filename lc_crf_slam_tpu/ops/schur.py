@@ -128,6 +128,191 @@ def _robust_weights(r, e_w, active, huber_delta):
     return chi2, w, cost
 
 
+def _grid_edge_comps(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem,
+                     grid: Tuple[int, int]):
+    """Per-edge residual/Jacobian COMPONENTS for camera-major grids,
+    every term a (C, K) array.
+
+    The batched-block einsum formulation materializes (E, 3, 6)-shaped
+    operands whose trailing dims tile to (8, 128) — a ~50x padding
+    blowup per materialization that made assembly ~1 ms/term-group on
+    v5e. Component arrays keep everything in perfectly-tiled (C, K)
+    planes, and XLA fuses the whole chain without materializing a
+    single padded block tensor. Returns (r (3 comps), J_cam (3x6),
+    J_pt (3x3), active) as nested lists of (C, K) arrays."""
+    C, K = grid
+    R = cam_Tcw[:, :3, :3]                           # (C, 3, 3)
+    t = cam_Tcw[:, :3, 3]                            # (C, 3)
+    pw = p_xyz[prob.e_pt].reshape(C, K, 3)
+    pc = [
+        sum(R[:, i, j, None] * pw[:, :, j] for j in range(3)) + t[:, i, None]
+        for i in range(3)
+    ]
+    x, y, z = pc
+    z_ok = z > 1e-3
+    zs = jnp.where(z_ok, z, 1.0)
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    e_uv = prob.e_uv.reshape(C, K, 2)
+    e_ur = prob.e_ur.reshape(C, K)
+    is_stereo = e_ur >= 0
+    zero = jnp.zeros_like(z)
+    r = [
+        u - e_uv[:, :, 0],
+        v - e_uv[:, :, 1],
+        jnp.where(is_stereo, (u - cam.bf * inv_z) - e_ur, 0.0),
+    ]
+    # d(pc) rows: du, dv, dr (each 3 comps)
+    du = [cam.fx * inv_z, zero, -cam.fx * x * inv_z2]
+    dv = [zero, cam.fy * inv_z, -cam.fy * y * inv_z2]
+    dr = [jnp.where(is_stereo, du[0], 0.0),
+          zero,
+          jnp.where(is_stereo, du[2] + cam.bf * inv_z2, 0.0)]
+    d_pc = [du, dv, dr]
+    # J_cam = d_pc @ [I3 | -hat(pc)]  (translation-first SE3 tangent):
+    # -hat(pc) columns are (0, -z, y), (z, 0, -x), (-y, x, 0)
+    J_cam = [
+        [d[0], d[1], d[2],
+         d[2] * y - d[1] * z,
+         d[0] * z - d[2] * x,
+         d[1] * x - d[0] * y]
+        for d in d_pc
+    ]
+    # J_pt = d_pc @ R
+    J_pt = [
+        [sum(d[m] * R[:, m, j, None] for m in range(3)) for j in range(3)]
+        for d in d_pc
+    ]
+    active = prob.e_valid.reshape(C, K) & z_ok \
+        & prob.p_valid[prob.e_pt].reshape(C, K)
+    return r, J_cam, J_pt, active
+
+
+def _grid_cost(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem, huber_delta,
+               grid: Tuple[int, int]):
+    """(chi2 (E,), robust cost) via the component formulation."""
+    r, _, _, active = _grid_edge_comps(cam, cam_Tcw, p_xyz, prob, grid)
+    C, K = grid
+    e_w = prob.e_w.reshape(C, K)
+    hd = huber_delta if jnp.ndim(huber_delta) == 0 \
+        else huber_delta.reshape(C, K)
+    chi2 = (r[0] * r[0] + r[1] * r[1] + r[2] * r[2]) * e_w
+    s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    rho = jnp.where(s <= hd, chi2, 2.0 * hd * s - hd * hd)
+    cost = jnp.sum(jnp.where(active, rho, 0.0))
+    return chi2.reshape(-1), cost
+
+
+def _lm_step_grid(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem, lam,
+                  huber_delta, grid: Tuple[int, int], onehot: jax.Array):
+    """One assemble + Schur solve + back-substitution on the grid fast
+    path, all in component arrays (see _grid_edge_comps). Numerics match
+    the generic einsum path up to f32 accumulation order
+    (tests/test_schur_ba.py::TestGridFastPath)."""
+    C, K = grid
+    P = p_xyz.shape[0]
+    r, Jc, Jp, active = _grid_edge_comps(cam, cam_Tcw, p_xyz, prob, grid)
+    e_w = prob.e_w.reshape(C, K)
+    hd = huber_delta if jnp.ndim(huber_delta) == 0 \
+        else huber_delta.reshape(C, K)
+    chi2 = (r[0] * r[0] + r[1] * r[1] + r[2] * r[2]) * e_w
+    s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    w = jnp.where(active, e_w * jnp.where(s <= hd, 1.0, hd / s), 0.0)
+    # gauge: fixed cameras contribute no camera Jacobian
+    not_fixed = 1.0 - prob.cam_fixed.astype(w.dtype)[:, None]
+    Jc = [[Jc[i][j] * not_fixed for j in range(6)] for i in range(3)]
+
+    # camera blocks + gradient: reduce over K per camera
+    Hcc = jnp.stack(
+        [sum(w * Jc[i][a] * Jc[i][b] for i in range(3)).sum(axis=1)
+         for a in range(6) for b in range(6)], axis=-1
+    ).reshape(C, 6, 6)
+    g_c = jnp.stack(
+        [sum(w * Jc[i][a] * r[i] for i in range(3)).sum(axis=1)
+         for a in range(6)], axis=-1
+    )                                                   # (C, 6)
+
+    # point blocks / point gradient / coupling, scattered to point slots
+    # by ONE one-hot matmul (C, P, K) x (C, K, 30)
+    pe = jnp.stack(
+        [sum(w * Jp[i][a] * Jp[i][b] for i in range(3))
+         for a in range(3) for b in range(3)]
+        + [sum(w * Jp[i][a] * r[i] for i in range(3)) for a in range(3)]
+        + [sum(w * Jc[i][a] * Jp[i][b] for i in range(3))
+           for a in range(6) for b in range(3)], axis=-1
+    )                                                   # (C, K, 30)
+    acc = jnp.einsum("cpk,cke->cpe", onehot, pe)        # (C, P, 30)
+    hp = jnp.sum(acc[..., :12], axis=0)                 # (P, 12)
+    # damped 3x3 point-block inverse, component-wise adjugate
+    lam_ = lam
+    H = [hp[:, 3 * a + b] for a in range(3) for b in range(3)]
+    Hd = [H[i] + (lam_ * H[i] + 1e-6 if i in (0, 4, 8) else 0.0)
+          for i in range(9)]
+    A_ = Hd[4] * Hd[8] - Hd[5] * Hd[7]
+    B_ = Hd[2] * Hd[7] - Hd[1] * Hd[8]
+    C_ = Hd[1] * Hd[5] - Hd[2] * Hd[4]
+    D_ = Hd[5] * Hd[6] - Hd[3] * Hd[8]
+    E_ = Hd[0] * Hd[8] - Hd[2] * Hd[6]
+    F_ = Hd[2] * Hd[3] - Hd[0] * Hd[5]
+    G_ = Hd[3] * Hd[7] - Hd[4] * Hd[6]
+    Hh = Hd[1] * Hd[6] - Hd[0] * Hd[7]
+    I_ = Hd[0] * Hd[4] - Hd[1] * Hd[3]
+    det = Hd[0] * A_ + Hd[1] * D_ + Hd[2] * G_
+    Hinv = [A_ / det, B_ / det, C_ / det,
+            D_ / det, E_ / det, F_ / det,
+            G_ / det, Hh / det, I_ / det]               # row-major (a,b)
+    g_p = [hp[:, 9 + a] for a in range(3)]              # 3 x (P,)
+    # coupling W[c,p,(i,a)] as 18 (C, P) planes
+    W = [acc[:, :, 12 + ia] for ia in range(18)]
+    # T[c,p,(i,b)] = sum_a W[(i,a)] Hinv[(a,b)]
+    T = [sum(W[i * 3 + a] * Hinv[a * 3 + b][None, :] for a in range(3))
+         for i in range(6) for b in range(3)]           # 18 x (C, P)
+
+    # S_red[(c,i),(d,j)] = sum_a sum_p T[(i,a)][c,p] W[(j,a)][d,p]
+    S_red = jnp.zeros((C * 6, C * 6), cam_Tcw.dtype)
+    for a in range(3):
+        M = jnp.stack([T[i * 3 + a] for i in range(6)], axis=1
+                      ).reshape(C * 6, P)
+        N = jnp.stack([W[j * 3 + a] for j in range(6)], axis=1
+                      ).reshape(C * 6, P)
+        S_red = S_red + M @ N.T
+    diag_c = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc))
+    Hcc_d = (Hcc + lam * diag_c).reshape(C * 6 // 6, 6, 6)
+    S = -S_red
+    blk = jnp.arange(C)
+    S = S.reshape(C, 6, C, 6).at[blk, :, blk, :].add(Hcc_d).reshape(
+        C * 6, C * 6)
+    fixed_diag = jnp.repeat(
+        prob.cam_fixed.astype(S.dtype), 6
+    ) + (jnp.abs(jnp.diagonal(S)) < 1e-8).astype(S.dtype)
+    S = S + jnp.diag(fixed_diag + 1e-6)
+
+    # rhs[c,i] = g_c[c,i] - sum_a sum_p T[(i,a)][c,p] g_p[a][p]
+    rhs = g_c - jnp.stack(
+        [sum((T[i * 3 + a] * g_p[a][None, :]).sum(axis=1)
+             for a in range(3)) for i in range(6)], axis=-1)
+    delta_c = -jnp.linalg.solve(S, rhs.reshape(C * 6)).reshape(C, 6)
+    delta_c = delta_c * (1.0 - prob.cam_fixed.astype(delta_c.dtype))[:, None]
+
+    # back-substitute: dp[a] = -sum_b Hinv[(a,b)] (g_p[b] + Wt_dc[b])
+    Wt_dc = [
+        sum((W[i * 3 + a] * delta_c[:, i, None]).sum(axis=0)
+            for i in range(6)) for a in range(3)
+    ]                                                   # 3 x (P,)
+    rhs_p = [g_p[b] + Wt_dc[b] for b in range(3)]
+    delta_p = jnp.stack(
+        [-sum(Hinv[a * 3 + b] * rhs_p[b] for b in range(3))
+         for a in range(3)], axis=-1)                   # (P, 3)
+    has_obs = H[0] + H[4] + H[8] > 0
+    delta_p = jnp.where((prob.p_valid & has_obs)[:, None], delta_p, 0.0)
+
+    cam_new = exp_se3(delta_c) @ cam_Tcw
+    p_new = p_xyz + delta_p
+    return cam_new, p_new
+
+
 def _edge_table(prob: BAProblem, C: int, P: int) -> jax.Array:
     """(P, C) int32 edge-index table: entry [p, c] is the edge observing
     point p from camera c, or E (out of bounds) if none.
@@ -147,19 +332,11 @@ def _edge_table(prob: BAProblem, C: int, P: int) -> jax.Array:
 
 
 def _lm_step(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem, lam,
-             huber_delta, tbl, grid: Tuple[int, int] | None = None,
-             onehot: jax.Array | None = None):
-    """One assemble + Schur solve + back-substitution; returns candidate
-    (cam_Tcw', p_xyz'). `tbl` is the (P, C) edge table from _edge_table.
-
-    With `grid=(C, K)` (edges laid out camera-major, K per camera — the
-    layout every production problem builder uses) assembly takes the
-    streaming fast path: camera blocks reduce densely over K, and point
-    blocks/coupling are ONE one-hot f32 matmul (C, P, K) x (C, K, 30) —
-    sequential HBM reads at full bandwidth. Measured on v5e at
-    C=32/P=4096/E=32k: 2.6 ms/iter vs 10.3 ms for the gather path vs
-    ~15 ms for scatter-adds. Without `grid` the generic gather path
-    handles arbitrary edge lists."""
+             huber_delta, tbl):
+    """One assemble + Schur solve + back-substitution (GENERIC edge
+    lists); returns candidate (cam_Tcw', p_xyz'). `tbl` is the (P, C)
+    edge table from _edge_table. Camera-major grid problems take
+    _lm_step_grid instead — the component-array fast path."""
     C = cam_Tcw.shape[0]
     P = p_xyz.shape[0]
     r, J_cam, J_pt, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
@@ -168,34 +345,7 @@ def _lm_step(cam: Pinhole, cam_Tcw, p_xyz, prob: BAProblem, lam,
     # gauge: fixed cameras contribute no camera Jacobian
     J_cam = J_cam * (1.0 - prob.cam_fixed[prob.e_cam].astype(J_cam.dtype))[:, None, None]
 
-    if grid is not None:
-        Cg, K = grid
-        assert Cg == C and C * K == prob.e_cam.shape[0]
-        wJc = w[:, None, None] * J_cam                     # (E, 3, 6)
-        Hcc_e = jnp.einsum("eij,eik->ejk", wJc, J_cam)     # (E, 6, 6)
-        g_c_e = jnp.einsum("eij,ei->ej", wJc, r)           # (E, 6)
-        wJp = w[:, None, None] * J_pt
-        Hpp_e = jnp.einsum("eij,eik->ejk", wJp, J_pt)      # (E, 3, 3)
-        g_p_e = jnp.einsum("eij,ei->ej", wJp, r)           # (E, 3)
-        W_e = jnp.einsum("eij,eik->ejk", wJc, J_pt)        # (E, 6, 3)
-        Hcc = jnp.sum(Hcc_e.reshape(C, K, 36), axis=1).reshape(C, 6, 6)
-        g_c = jnp.sum(g_c_e.reshape(C, K, 6), axis=1)
-        if onehot is None:
-            # fallback: built in-step (solve_ba hoists it out of the LM
-            # loop — the (C, P, K) materialization is the single
-            # largest HBM write of the solve and is loop-invariant)
-            pt_grid = jnp.where(prob.e_valid, prob.e_pt, P).reshape(C, K)
-            onehot = (
-                pt_grid[:, None, :] == jnp.arange(P)[None, :, None]
-            ).astype(jnp.float32)                          # (C, P, K)
-        pe = jnp.concatenate(
-            [Hpp_e.reshape(C, K, 9), g_p_e.reshape(C, K, 3),
-             W_e.reshape(C, K, 18)], axis=-1)
-        acc = jnp.einsum("cpk,cke->cpe", onehot, pe)       # (C, P, 30)
-        Hpp = jnp.sum(acc[..., :9], axis=0).reshape(P, 3, 3)
-        g_p = jnp.sum(acc[..., 9:12], axis=0)
-        Wpc = acc[..., 12:].transpose(1, 0, 2).reshape(P, C, 6, 3)
-    else:
+    if True:
         take = lambda a: jnp.take(a, tbl, axis=0, mode="fill", fill_value=0)
         w_g = take(w)                      # (P, C)
         Jc_g = take(J_cam)                 # (P, C, 3, 6)
@@ -268,6 +418,8 @@ def solve_ba(
         )
 
     def total_cost(cam_Tcw, p_xyz):
+        if grid is not None:
+            return _grid_cost(cam, cam_Tcw, p_xyz, prob, huber_delta, grid)
         r, _, _, z_ok = _edge_residuals(cam, cam_Tcw, p_xyz, prob)
         active = prob.e_valid & z_ok & prob.p_valid[prob.e_pt]
         chi2, _, cost = _robust_weights(r, prob.e_w, active, huber_delta)
@@ -279,6 +431,7 @@ def solve_ba(
     onehot = None
     if grid is not None:
         Cg, K = grid
+        assert Cg == C and Cg * K == prob.e_cam.shape[0]
         pt_grid = jnp.where(prob.e_valid, prob.e_pt, P).reshape(Cg, K)
         onehot = (
             pt_grid[:, None, :] == jnp.arange(P)[None, :, None]
@@ -286,8 +439,12 @@ def solve_ba(
 
     def body(_, carry):
         cam_Tcw, p_xyz, lam, f_old = carry
-        cam_new, p_new = _lm_step(
-            cam, cam_Tcw, p_xyz, prob, lam, huber_delta, tbl, grid, onehot)
+        if grid is not None:
+            cam_new, p_new = _lm_step_grid(
+                cam, cam_Tcw, p_xyz, prob, lam, huber_delta, grid, onehot)
+        else:
+            cam_new, p_new = _lm_step(
+                cam, cam_Tcw, p_xyz, prob, lam, huber_delta, tbl)
         _, f_new = total_cost(cam_new, p_new)
         accept = f_new < f_old
         cam_Tcw = jnp.where(accept, cam_new, cam_Tcw)
