@@ -68,3 +68,62 @@ def test_sweep_loop_closes_in_throughput_mode():
     assert ate < 0.10, ate
     lost = sum(1 for s in slam.stats if s.get("status", 1) != 1)
     assert lost == 0, lost
+
+
+@pytest.mark.slow
+def test_gba_slices_interleave_with_chunk_mapping():
+    """VERDICT r4 ask #10: after a loop closes in throughput mode the
+    budgeted global-BA slices (reference's detached GBA thread) pump
+    one per chunk, interleaved with subsequent chunks' in-scan mapping
+    mutations (triangulation, fusion, culling). The map must come out
+    consistent: observation counts must match a recount of the
+    observation table, the budget must drain by export, and the
+    trajectory must stay clean."""
+    n = 120   # longer tail than the close-gate world: >=2 chunks AFTER
+              # the loop fires so slices genuinely interleave
+    world = SyntheticWorld(
+        cam=QVGA, n_frames=n, n_static=1600, n_dynamic=0, seed=3,
+        trajectory="sweep",
+    )
+    cfg = SLAMConfig()
+    cfg = cfg.replace(mapping=_dc.replace(
+        cfg.mapping, fuse_reverse_neighbors=0,
+        interrupt_fuse_reverse_neighbors=0))
+    assert cfg.loop.gba_slice_iters > 0   # budgeted-slice mode is default
+    slam = SLAMSystem(QVGA, cfg, enable_crf=True, enable_mapping=True)
+
+    frames = [world.frame(k, render=True) for k in range(n)]
+    grays = np.stack([f.image for f in frames]).astype(np.float32)
+    depths = np.stack([f.depth_image for f in frames]).astype(np.float32)
+    ts = np.asarray([f.timestamp for f in frames])
+
+    poses = slam.track_sequence(grays, depths, ts, chunk=15)
+    assert np.isfinite(poses).all()
+    assert len(slam.loop_log) >= 1, slam.loop_log
+    # slices actually ran against the live map (>= 2: interleaved work,
+    # not one final drain)
+    assert slam._gba_slices_run >= 2, slam._gba_slices_run
+
+    ts_est, pe = slam.get_trajectory()   # drains any remaining budget
+    assert slam._gba_pending is None
+    gt_t, gt = world.groundtruth()
+    ate = evaluate_ate(ts_est, pe, gt_t, gt).rmse
+    assert ate < 0.10, ate
+
+    # map consistency after slices interleaved with mapping mutations:
+    # p_n_obs of every alive point equals the recount of its entries in
+    # alive keyframes' observation tables
+    m = slam.map
+    kf_alive = np.asarray(m.kf_alive)
+    obs = np.asarray(m.kf_obs)[kf_alive]
+    valid = np.asarray(m.kf_valid)[kf_alive] & (obs >= 0)
+    P = int(m.capacity_points)
+    recount = np.bincount(obs[valid].ravel(), minlength=P)[:P]
+    p_alive = np.asarray(m.p_alive)
+    stored = np.asarray(m.p_n_obs)
+    mismatch = p_alive & (stored != recount)
+    assert mismatch.sum() == 0, (
+        f"{int(mismatch.sum())} alive points with stale n_obs "
+        f"(e.g. slots {np.nonzero(mismatch)[0][:5]}: stored "
+        f"{stored[mismatch][:5]} vs recount {recount[mismatch][:5]})"
+    )
