@@ -23,31 +23,6 @@ class FlowResult(NamedTuple):
     ok: jax.Array        # (K,) bool converged & in-bounds
 
 
-def _bilinear_patch(img_pad: jax.Array, pt: jax.Array, r: int, pad: int):
-    """(2r+1, 2r+1) bilinear window of the (edge-padded) image at `pt`.
-
-    ONE vmapped `lax.dynamic_slice` + elementwise 4-tap blend per window
-    instead of hundreds of random-index gathers — on TPU the flat-gather
-    formulation was ~400 ms/frame; dense dynamic-slice patches are the
-    fast path for square windows (measured on v5e; see also the BRIEF
-    sampler where the opposite holds for sparse lookups).
-    `pt` is (x, y) in ORIGINAL image coordinates; `pad >= r + 2`.
-    """
-    x0 = jnp.floor(pt[0]).astype(jnp.int32)
-    y0 = jnp.floor(pt[1]).astype(jnp.int32)
-    fx = pt[0] - x0.astype(pt.dtype)
-    fy = pt[1] - y0.astype(pt.dtype)
-    P = jax.lax.dynamic_slice(
-        img_pad, (y0 - r + pad, x0 - r + pad), (2 * r + 2, 2 * r + 2)
-    )
-    return (
-        P[:-1, :-1] * (1 - fy) * (1 - fx)
-        + P[:-1, 1:] * (1 - fy) * fx
-        + P[1:, :-1] * fy * (1 - fx)
-        + P[1:, 1:] * fy * fx
-    )
-
-
 SEARCH_RAD = 6   # max per-level correction of the coarse-to-fine guess
 
 
@@ -62,17 +37,17 @@ def _track_level(
     <sample(q), gx> and <sample(q), gy>, and bilinear sampling COMMUTES
     with those (linear) correlations: precompute the correlation maps
     C_g[d] = <W[d+.], g> over the integer offset grid of a local search
-    window ONCE per level (a K-grouped dense conv — MXU/VPU work), and
-    every GN iteration reduces to a separable 4-tap bilinear read of a
-    (D, D) map, i.e. two hat-weight dots — no image gathers at all.
-    The original form re-gathered a 15x15 patch per keypoint per
-    iteration (vmapped dynamic_slice = scatter-gather), which made the
-    fused chunk program LK-bound: 57 ms/frame-pair for 1024 kps on
-    v5e, ~75% of the whole pipeline's device time.
+    window ONCE per level (K-last shift-accumulate), and every GN
+    iteration reduces to separable hat-weight contractions of a (D, D)
+    map — no image gathers at all. Patch extraction itself is a
+    contiguous-row gather + one-hot column-selection matmul (no
+    per-keypoint dynamic slices anywhere). Evolution, all measured on
+    v5e (1024 kps, 640x480, scan-amortized): r1 flat gathers
+    ~57 ms/pair -> r3 correlation maps w/ grouped convs 9.7 -> K-last
+    offset work + gather-free final error 7.2 -> matmul patch
+    extraction 1.9 ms/pair.
 
-    Per keypoint per level: 1 template gather, 1 window gather, 2
-    grouped convs, `iters` tiny einsums, 1 final error sample. The
-    window bounds the per-level correction to ±SEARCH_RAD px of the
+    The window bounds the per-level correction to ±SEARCH_RAD px of the
     coarse-to-fine guess, which halving pyramids satisfy."""
     r = half_win
     P = 2 * r + 1                   # patch side
@@ -84,30 +59,52 @@ def _track_level(
     prev_p = jnp.pad(img_prev, pad, mode="edge")
     next_p = jnp.pad(img_next, pad, mode="edge")
 
-    def clampxy(pt):
-        return jnp.stack([
-            jnp.clip(pt[0], 0.0, W - 1.001),
-            jnp.clip(pt[1], 0.0, H - 1.001),
-        ])
-
-    def prep(kp_prev, kp_guess):
-        # template + central-difference gradients from ONE (r+1)-patch
-        T1 = _bilinear_patch(prev_p, clampxy(kp_prev), r + 1, pad)
-        tmpl = T1[1:-1, 1:-1]
-        gx = (T1[1:-1, 2:] - T1[1:-1, :-2]) * 0.5
-        gy = (T1[2:, 1:-1] - T1[:-2, 1:-1]) * 0.5
-        # search window: W[w] = img[anchor + w], anchor = floor(g) - S - r
-        g0 = clampxy(kp_guess)
-        ax = jnp.floor(g0[0]).astype(jnp.int32) - S - r
-        ay = jnp.floor(g0[1]).astype(jnp.int32) - S - r
-        win = jax.lax.dynamic_slice(
-            next_p, (ay + pad, ax + pad), (Wn, Wn)
-        )
-        anchor = jnp.stack([ax, ay]).astype(g0.dtype)
-        return tmpl, gx, gy, win, anchor
-
-    tmpl, gx, gy, win, anchor = jax.vmap(prep)(uv_prev, uv_guess)
+    # --- per-keypoint patch extraction as row-gather + column-select
+    # matmuls. The r4 formulation vmapped one dynamic_slice per keypoint
+    # per gather (2048 slices/level) — measured ~2 ms/level, the
+    # dominant LK cost once the offset-grid work went K-last. Here: ONE
+    # contiguous-row gather (DMA-friendly) per image, then a batched
+    # one-hot column-selection matmul on the MXU; the template's
+    # bilinear blend folds into the row blend + selection weights.
     K = uv_prev.shape[0]
+    Wp = W + 2 * pad
+    wgrid = jnp.arange(Wp, dtype=jnp.int32)
+
+    xq = jnp.clip(uv_prev[:, 0], 0.0, W - 1.001)
+    yq = jnp.clip(uv_prev[:, 1], 0.0, H - 1.001)
+    x0 = jnp.floor(xq).astype(jnp.int32)
+    y0 = jnp.floor(yq).astype(jnp.int32)
+    fx = (xq - x0).astype(img_prev.dtype)
+    fy = (yq - y0).astype(img_prev.dtype)
+    # template support: (P+2, P+2) bilinear patch (interior P x P plus a
+    # 1-px ring for central-difference gradients)
+    nT = P + 2
+    rowsT = prev_p[(y0 - (r + 1) + pad)[:, None]
+                   + jnp.arange(nT + 1)[None, :], :]     # (K, nT+1, Wp)
+    rowsB = (1.0 - fy)[:, None, None] * rowsT[:, :-1] \
+        + fy[:, None, None] * rowsT[:, 1:]               # (K, nT, Wp)
+    offT = wgrid[None, :, None] - (x0 - (r + 1) + pad)[:, None, None] \
+        - jnp.arange(nT)[None, None, :]                  # (K, Wp, nT)
+    selT = (1.0 - fx)[:, None, None] * (offT == 0) \
+        + fx[:, None, None] * (offT == 1)
+    T1 = jnp.einsum("kiw,kwj->kij", rowsB, selT)         # (K, nT, nT)
+    tmpl = T1[:, 1:-1, 1:-1]
+    gx = (T1[:, 1:-1, 2:] - T1[:, 1:-1, :-2]) * 0.5
+    gy = (T1[:, 2:, 1:-1] - T1[:, :-2, 1:-1]) * 0.5
+
+    # search window: integer-anchored (Wn, Wn) crop of the next image,
+    # anchor = floor(guess) - S - r
+    gx0 = jnp.clip(uv_guess[:, 0], 0.0, W - 1.001)
+    gy0 = jnp.clip(uv_guess[:, 1], 0.0, H - 1.001)
+    ax = jnp.floor(gx0).astype(jnp.int32) - S - r
+    ay = jnp.floor(gy0).astype(jnp.int32) - S - r
+    rowsW = next_p[(ay + pad)[:, None]
+                   + jnp.arange(Wn)[None, :], :]         # (K, Wn, Wp)
+    offW = wgrid[None, :, None] - (ax + pad)[:, None, None] \
+        - jnp.arange(Wn)[None, None, :]                  # (K, Wp, Wn)
+    selW = (offW == 0).astype(img_next.dtype)
+    win = jnp.einsum("kiw,kwj->kij", rowsW, selW)        # (K, Wn, Wn)
+    anchor = jnp.stack([ax, ay], axis=-1).astype(uv_guess.dtype)
 
     # --- K-LAST layout for the per-offset work ---------------------------
     # TPU tiles the last two dims to (8, 128): any (K, D, D) array with
