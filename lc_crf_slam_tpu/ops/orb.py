@@ -45,19 +45,23 @@ def _ic_mask() -> np.ndarray:
 def _gather_patches(img: jax.Array, uv: jax.Array, half: int) -> jax.Array:
     """(H, W), (K, 2) int (x, y) -> (K, 2*half+1, 2*half+1) patches.
 
-    vmapped dynamic_slice: measured FASTER on TPU than a flat index
-    gather for dense square patches (contiguous-row DMA); the sparse
-    512-sample BRIEF gather is the opposite case (see
-    brief_descriptors_direct). Start indices clamp at borders.
+    Contiguous-row gather + one-hot column-selection matmul: the
+    vmapped-dynamic_slice formulation issued one DMA per keypoint and
+    showed up as the front-end's residual gather cost once the BRIEF
+    samples moved onto the MXU; row gathers stream full rows and the
+    column crop is a batched (size, W) x (W, size) matmul (same design
+    as ops/lk_flow.py's patch extraction). Start indices clamp at
+    borders, matching dynamic_slice semantics bit-for-bit.
     """
     size = 2 * half + 1
-
-    def one(xy):
-        y0 = jnp.clip(xy[1] - half, 0, img.shape[0] - size)
-        x0 = jnp.clip(xy[0] - half, 0, img.shape[1] - size)
-        return jax.lax.dynamic_slice(img, (y0, x0), (size, size))
-
-    return jax.vmap(one)(uv)
+    H, W = img.shape
+    y0 = jnp.clip(uv[:, 1] - half, 0, H - size).astype(jnp.int32)
+    x0 = jnp.clip(uv[:, 0] - half, 0, W - size).astype(jnp.int32)
+    rows = img[y0[:, None] + jnp.arange(size)[None, :], :]  # (K, size, W)
+    off = jnp.arange(W, dtype=jnp.int32)[None, :, None] \
+        - x0[:, None, None] - jnp.arange(size)[None, None, :]
+    sel = (off == 0).astype(img.dtype)                      # (K, W, size)
+    return jnp.einsum("ksw,kwj->ksj", rows, sel)
 
 
 def ic_angles(img: jax.Array, uv: jax.Array) -> jax.Array:
