@@ -168,6 +168,34 @@ def main():
     best_full = min(t_a, t_b)
     full_fps = N_FRAMES / best_full
 
+    # ---- stereo throughput (VERDICT r4 ask #7): both eyes' front-ends
+    # + epipolar row match fused into the chunk program -----------------
+    b = cam.bf / cam.fx
+    sshift = np.eye(4)
+    sshift[0, 3] = b
+    sframes_r = [
+        dyn_world.frame(k, render=True,
+                        T_wc=dyn_world.gt_pose_twc(k) @ sshift)
+        for k in range(N_FRAMES + 1)
+    ]
+    sgrays_r = jax.device_put(jnp.asarray(
+        np.stack([f.image for f in sframes_r]), jnp.float32))
+    _ = np.asarray(jnp.ravel(sgrays_r)[0])
+    slam_st = SLAMSystem(cam, cfg, enable_crf=True, enable_mapping=True)
+
+    def stereo_run():
+        slam_st.reset()
+        t0 = time.perf_counter()
+        poses = slam_st.track_sequence_stereo(dgrays, sgrays_r, dts,
+                                              chunk=15)
+        _ = np.asarray(poses[-1])
+        return time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    stereo_run()
+    compile_stereo_s = time.perf_counter() - t0
+    stereo_fps = N_FRAMES / min(stereo_run() for _ in range(2))
+
     result = {
         "metric": "tracking_fps_per_chip",
         "value": round(fps, 2),
@@ -175,6 +203,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "full_pipeline_fps": round(full_fps, 2),
         "full_pipeline_vs_baseline": round(full_fps / BASELINE_FPS, 3),
+        "stereo_pipeline_fps": round(stereo_fps, 2),
     }
     if _ON_CPU_FALLBACK:
         result["note"] = (
@@ -188,6 +217,7 @@ def main():
     ph = " ".join(f"{k}={v*1e3:.0f}ms" for k, v in phases.items())
     print(
         f"# compile={compile_s:.1f}s compile_full={compile_full_s:.1f}s "
+        f"compile_stereo={compile_stereo_s:.1f}s "
         f"run={best*1e3:.1f}ms/{N_FRAMES}f "
         f"full={best_full*1e3:.1f}ms [{ph} (run A={t_a*1e3:.0f}ms)] "
         f"mean_inliers={mean_inl:.0f} "

@@ -296,13 +296,10 @@ class SLAMSystem:
         self._last_gray = gray
         return np.asarray(res.Tcw2)
 
-    def track_stereo(self, gray_left, gray_right, timestamp: float) -> np.ndarray:
-        """System::TrackStereo — stereo pair in, pose out. Features are
-        extracted in both images; left features gain depth via epipolar
-        row matching (ops/stereo.py), then the RGB-D pipeline applies."""
+    def _make_stereo_frame(self, gray_left, gray_right) -> Frame:
+        """Both eyes' front-ends + epipolar row match -> depth-carrying
+        left Frame (Frame::ComputeStereoMatches, SURVEY.md §3.1)."""
         from ..ops.stereo import stereo_match
-
-        self._set_sensor("stereo")
 
         fl = self._build_frame(
             self.cam, self.cfg, jnp.asarray(gray_left, jnp.float32),
@@ -316,11 +313,29 @@ class SLAMSystem:
             self.cam, fl.uv, fl.level, fl.desc, fl.valid,
             fr.uv, fr.level, fr.desc, fr.valid,
         )
-        frame = fl._replace(u_right=u_right, depth=depth)
-        return self._track_frame(frame, timestamp)
+        return fl._replace(u_right=u_right, depth=depth)
+
+    def track_stereo(self, gray_left, gray_right, timestamp: float) -> np.ndarray:
+        """System::TrackStereo — stereo pair in, pose out. Features are
+        extracted in both images; left features gain depth via epipolar
+        row matching (ops/stereo.py), then the RGB-D pipeline applies."""
+        self._set_sensor("stereo")
+        frame = self._make_stereo_frame(gray_left, gray_right)
+        return self._track_frame(frame, timestamp,
+                                 gray=jnp.asarray(gray_left, jnp.float32))
+
+    def track_sequence_stereo(self, grays_left, grays_right, timestamps,
+                              chunk: int = 8) -> np.ndarray:
+        """Throughput mode for STEREO input (TrackStereo semantics at
+        track_sequence speed): both eyes' front-ends and the epipolar
+        row match (ops/stereo.py) run inside the fused chunk program;
+        everything downstream of the depth-carrying Frame is the RGB-D
+        chunk machinery unchanged. Returns (N, 4, 4) poses Tcw."""
+        return self.track_sequence(grays_left, grays_right, timestamps,
+                                   chunk=chunk, stereo=True)
 
     def track_sequence(self, grays, depths, timestamps,
-                       chunk: int = 8) -> np.ndarray:
+                       chunk: int = 8, stereo: bool = False) -> np.ndarray:
         """Throughput mode: track N frames as chunked lax.scan programs —
         zero host round-trips inside a chunk (this is how bench.py
         measures frames/s).
@@ -343,13 +358,17 @@ class SLAMSystem:
         import jax
 
         grays = jnp.asarray(grays, jnp.float32)
-        depths = jnp.asarray(depths, jnp.float32)
+        depths = jnp.asarray(depths, jnp.float32)   # stereo: right grays
         n = grays.shape[0]
         if not self.initialized:
             # pass the device slices directly — np.asarray here would
             # fetch the frames back to host (and block on the whole
             # stack's upload: ~2 s over a tunneled TPU link)
-            self.track_rgbd(grays[0], depths[0], float(timestamps[0]))
+            if stereo:
+                self.track_stereo(grays[0], depths[0],
+                                  float(timestamps[0]))
+            else:
+                self.track_rgbd(grays[0], depths[0], float(timestamps[0]))
             grays, depths = grays[1:], depths[1:]
             timestamps = timestamps[1:]
             n -= 1
@@ -358,7 +377,7 @@ class SLAMSystem:
                 self._scan_chunk_len != chunk or \
                 getattr(self, "_scan_chunk_caps", None) != (
                     self.enable_mapping, self.enable_crf,
-                    self.enable_loop):
+                    self.enable_loop, stereo):
             cfg, cam = self.cfg, self.cam
             with_mapping = self.enable_mapping
             with_crf = self.enable_crf
@@ -425,7 +444,34 @@ class SLAMSystem:
                 # batched gathers under vmap (measured on v5e,
                 # benchmarks/fe_micro.py: 6.3 ms/frame scanned vs 10.4
                 # vmapped for the identical 30-frame front-end).
-                if shard_frames is not None:
+                if stereo:
+                    # both eyes' front-ends + the epipolar row match,
+                    # folded into the same per-frame scan (depths IS
+                    # the right-eye gray stack in stereo mode)
+                    from ..ops.stereo import stereo_match
+
+                    def fe_stereo(_, gg):
+                        g_l, g_r = gg
+                        zl = jnp.zeros_like(g_l)
+                        fl = build_frame(cam, cfg, g_l, zl)
+                        fr_ = build_frame(cam, cfg, g_r, zl)
+                        ur, dep = stereo_match(
+                            cam, fl.uv, fl.level, fl.desc, fl.valid,
+                            fr_.uv, fr_.level, fr_.desc, fr_.valid,
+                        )
+                        return None, fl._replace(u_right=ur, depth=dep)
+
+                    if shard_frames is not None:
+                        grays = shard_frames(grays)
+                        depths = shard_frames(depths)
+                        frames = jax.vmap(
+                            lambda g, d: fe_stereo(None, (g, d))[1]
+                        )(grays, depths)
+                        frames = jax.tree.map(shard_frames, frames)
+                    else:
+                        _, frames = jax.lax.scan(
+                            fe_stereo, None, (grays, depths))
+                elif shard_frames is not None:
                     grays = shard_frames(grays)
                     depths = shard_frames(depths)
                     frames = jax.vmap(
@@ -600,7 +646,7 @@ class SLAMSystem:
             self._scan_chunk_fn = run_chunk
             self._scan_chunk_len = chunk
             self._scan_chunk_caps = (with_mapping, with_crf,
-                                     self.enable_loop)
+                                     self.enable_loop, stereo)
 
         loc_only = getattr(self, "_localization_only", False)
         allow_kf = jnp.asarray(not loc_only)
@@ -673,8 +719,11 @@ class SLAMSystem:
                 take < 2 or bool(statuses[take - 2] == 2)
             )
             if persist_lost and int(n_kfs) >= 2:
-                fr = self._build_frame(
-                    self.cam, self.cfg, g[take - 1], d[take - 1])
+                if stereo:
+                    fr = self._make_stereo_frame(g[take - 1], d[take - 1])
+                else:
+                    fr = self._build_frame(
+                        self.cam, self.cfg, g[take - 1], d[take - 1])
                 self._reloc_key, sub = jax.random.split(self._reloc_key)
                 rr = self._relocalize(self.cfg, self.cam, self.map, fr, sub)
                 if bool(rr.accepted):

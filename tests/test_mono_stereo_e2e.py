@@ -81,3 +81,42 @@ class TestStereoEntry:
         d = np.asarray(slam.map.p_xyz[: int(slam.map.n_points)])[:, 2]
         if len(d) > 10:
             assert abs(np.median(d) - depth) < 0.2, np.median(d)
+
+
+@pytest.mark.slow
+class TestStereoThroughput:
+    def test_track_sequence_stereo_accuracy(self):
+        """VERDICT r4 ask #7: the stereo THROUGHPUT path — both eyes'
+        front-ends + epipolar match fused into the chunk program
+        (track_sequence_stereo). Accuracy-gated like the per-frame
+        stereo entry; mapping + CRF live in the chunk."""
+        from lc_crf_slam_tpu.utils.evaluate import evaluate_ate
+
+        world = SyntheticWorld(cam=TUM3, n_frames=24, n_static=900,
+                               n_dynamic=0, seed=11, trajectory="line",
+                               pixel_noise=0.0, depth_noise=0.0)
+        b = TUM3.bf / TUM3.fx
+        shift = np.eye(4)
+        shift[0, 3] = b
+        gl, gr, ts = [], [], []
+        for k in range(24):
+            fl = world.frame(k, render=True)
+            fr = world.frame(k, render=True,
+                             T_wc=world.gt_pose_twc(k) @ shift)
+            gl.append(fl.image)
+            gr.append(fr.image)
+            ts.append(fl.timestamp)
+        slam = SLAMSystem(TUM3, SLAMConfig(), enable_crf=True,
+                          enable_mapping=True)
+        poses = slam.track_sequence_stereo(
+            np.stack(gl).astype(np.float32),
+            np.stack(gr).astype(np.float32), np.asarray(ts), chunk=8)
+        assert np.isfinite(poses).all()
+        assert slam.cfg.sensor == "stereo"
+        ts_est, pe = slam.get_trajectory()
+        gt_t, gt = world.groundtruth()
+        ate = evaluate_ate(ts_est, pe, gt_t, gt).rmse
+        lost = sum(1 for s in slam.stats if s.get("status", 1) != 1)
+        assert lost == 0, lost
+        assert ate < 0.05, ate
+        assert len(slam.kf_log) >= 2
