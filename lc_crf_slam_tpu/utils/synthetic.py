@@ -13,6 +13,7 @@ with optional moving (dynamic) clusters, producing
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -96,6 +97,17 @@ class SyntheticWorld:
                                       # the reference's consistency
                                       # check requires
     box: tuple = (6.0, 4.0, 4.0)      # world extents (x, y, z)
+    # Cylindrical textured-wall render mode (render=True only): instead
+    # of per-point dot splats, every pixel samples a fixed two-octave
+    # texture by its ray's azimuth/height on a cylinder around the
+    # origin. A panning/rotating camera sees the SAME texture from any
+    # yaw (dot splats are drawn axis-aligned per frame and their
+    # overlap order shuffles under fast pans, which starved the mono
+    # image pipeline to ~57 adjacent-KF matches — VERDICT r4 #4). The
+    # shell POINTS still exist for observation-level uses; the wall
+    # only replaces the rendered image/depth.
+    wall: bool = False
+    wall_radius: float = 3.0
     rng: np.random.Generator = field(init=False)
 
     def __post_init__(self):
@@ -265,7 +277,11 @@ class SyntheticWorld:
             is_dynamic=is_dyn,
         )
         if render:
-            frame.image, frame.depth_image = self._render(uv, z[ids], ids)
+            if self.wall:
+                frame.image, frame.depth_image = self._render_wall(T_wc)
+            else:
+                frame.image, frame.depth_image = self._render(
+                    uv, z[ids], ids)
             if self.billboard:
                 self._render_billboard(frame.image, frame.depth_image,
                                        T_wc, k)
@@ -317,6 +333,62 @@ class SyntheticWorld:
         # points' descriptors the way a uniform bright block would.
         tex[r, r] = 235.0 if prng.random() < 0.5 else 20.0
         return tex
+
+    @functools.cached_property
+    def _wall_tex(self):
+        """Two fixed texture octaves for the cylindrical wall."""
+        prng = np.random.default_rng(777 + self.seed)
+        return (prng.random((64, 512)).astype(np.float32),
+                prng.random((192, 1536)).astype(np.float32))
+
+    @staticmethod
+    def _tex_bilinear(tex: np.ndarray, yy: np.ndarray, xx: np.ndarray):
+        """Periodic bilinear sample of `tex` at float coords (yy, xx)."""
+        Hh, Ww = tex.shape
+        y0 = np.floor(yy).astype(int)
+        x0 = np.floor(xx).astype(int)
+        fy = yy - y0
+        fx = xx - x0
+        y0 %= Hh
+        x0 %= Ww
+        y1 = (y0 + 1) % Hh
+        x1 = (x0 + 1) % Ww
+        return (tex[y0, x0] * (1 - fy) * (1 - fx)
+                + tex[y0, x1] * (1 - fy) * fx
+                + tex[y1, x0] * fy * (1 - fx)
+                + tex[y1, x1] * fy * fx)
+
+    def _render_wall(self, T_wc: np.ndarray):
+        """Ray-cast the textured cylinder: image + exact depth image."""
+        cam = self.cam
+        H, W = cam.height, cam.width
+        us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        d_c = np.stack([(us - cam.cx) / cam.fx,
+                        (vs - cam.cy) / cam.fy,
+                        np.ones_like(us)], axis=-1)      # (H, W, 3)
+        R_wc = T_wc[:3, :3]
+        o = T_wc[:3, 3]
+        d_w = d_c @ R_wc.T
+        # |o_xz + t d_xz|^2 = R^2, positive root
+        a = d_w[..., 0] ** 2 + d_w[..., 2] ** 2
+        b = 2.0 * (o[0] * d_w[..., 0] + o[2] * d_w[..., 2])
+        c = o[0] ** 2 + o[2] ** 2 - self.wall_radius ** 2
+        disc = np.maximum(b * b - 4 * a * c, 1e-12)
+        t = (-b + np.sqrt(disc)) / (2 * np.maximum(a, 1e-12))
+        pt = o[None, None, :] + t[..., None] * d_w
+        theta = np.arctan2(pt[..., 0], pt[..., 2])        # [-pi, pi]
+        y = pt[..., 1]
+        coarse, fine = self._wall_tex
+        u_c = (theta / (2 * np.pi)) * coarse.shape[1]
+        v_c = y * (coarse.shape[0] / 4.0)                 # 4 m vertical tile
+        u_f = (theta / (2 * np.pi)) * fine.shape[1]
+        v_f = y * (fine.shape[0] / 4.0)
+        mix = (0.62 * self._tex_bilinear(coarse, v_c, u_c)
+               + 0.38 * self._tex_bilinear(fine, v_f, u_f))
+        img = (35.0 + 185.0 * mix).astype(np.float32)
+        depth = t.astype(np.float32)                      # z-depth (d_cz=1)
+        return img, depth
 
     def _render(self, uv: np.ndarray, z: np.ndarray, ids: np.ndarray):
         """Splat per-point texture patches on a low-contrast background."""
