@@ -38,6 +38,40 @@ class CRFInfo(NamedTuple):
     mean_q: jax.Array
 
 
+def masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Median of x over mask (0 when mask is empty)."""
+    s = jnp.sort(jnp.where(mask, x, jnp.inf))
+    n = jnp.sum(mask.astype(jnp.int32))
+    v = s[jnp.clip(n // 2, 0, x.shape[0] - 1)]
+    return jnp.where(n > 0, v, 0.0)
+
+
+def noise_floors(cfg: SLAMConfig, m: MapState):
+    """Self-calibrating evidence noise floors (per-cue effective sigmas).
+
+    The configured sigmas are calibrated on noise-free rendering; real
+    sensors put a noise floor under every cue (keypoint localization,
+    LK photometric noise, depth speckle), and with fixed sigmas the CRF
+    labels the ENTIRE static map dynamic once the floor passes the
+    z-score bar — measured on the sweep world with 2-graylevel image
+    noise: inliers collapse 329 -> 70 within 15 frames and tracking
+    dies, while the same world with the CRF off tracks perfectly. The
+    robust fix is the classic one: scale each sigma to the median of
+    its own evidence EMA over mature alive tracks (statics dominate, so
+    the median IS the noise floor; movers sit in the upper tail).
+    Noise-free behavior is unchanged — there the medians sit below the
+    configured sigmas and the max() keeps the calibrated values."""
+    c = cfg.crf
+    mature = m.p_alive & (m.p_visible >= 4)
+    reproj_s = jnp.maximum(
+        c.reproj_sigma, 1.5 * masked_median(m.p_err_ema, mature))
+    depth_s = jnp.maximum(
+        c.depth_sigma, 1.5 * masked_median(m.p_depth_err_ema, mature))
+    flow_s = jnp.maximum(
+        c.flow_sigma, 1.5 * masked_median(m.p_flow_err, mature))
+    return reproj_s, depth_s, flow_s
+
+
 def unary_energies(cfg: SLAMConfig, m: MapState, ids: jax.Array):
     """Static-label energy per track (dynamic-label energy is the
     constant `bias` below): accumulated inconsistency, normalized per
@@ -46,10 +80,11 @@ def unary_energies(cfg: SLAMConfig, m: MapState, ids: jax.Array):
     err = m.p_err_ema[ids]
     derr = m.p_depth_err_ema[ids]
     ferr = m.p_flow_err[ids]
+    reproj_s, depth_s, flow_s = noise_floors(cfg, m)
     e_static = (
-        c.w_reproj * jnp.square(err / c.reproj_sigma)
-        + c.w_depth * jnp.square(derr / c.depth_sigma)
-        + c.w_flow * jnp.square(ferr / c.flow_sigma)
+        c.w_reproj * jnp.square(err / reproj_s)
+        + c.w_depth * jnp.square(derr / depth_s)
+        + c.w_flow * jnp.square(ferr / flow_s)
     )
     # clip: one catastrophic residual shouldn't saturate the energy
     e_static = jnp.minimum(e_static, 25.0)

@@ -31,7 +31,7 @@ from ..geometry.se3 import se3_inverse
 from ..ops.match import hamming_matrix, match_nn, projection_gate, resolve_duplicates
 from ..ops.schur import BAProblem, solve_ba_with_outlier_rounds
 from ..ops.triangulate import epipolar_gate, triangulate_pairs
-from .mapstate import MapState, add_points, covisibility
+from .mapstate import MapState, add_points, covisibility, obs_weight
 
 BA_CAMS = 32          # local window + fixed observers
 BA_POINTS = 4096
@@ -157,18 +157,24 @@ def local_bundle_adjustment(
     pruned = prob.e_valid & ~keep          # (C*K,)
     pruned = pruned.reshape(C, K)
     kf_safe = jnp.maximum(cam_ids, 0)
-    new_obs_rows = jnp.where(pruned, -1, m.kf_obs[kf_safe])
+    old_obs_rows = m.kf_obs[kf_safe]       # BEFORE erasing (the r1-r4
+    # code read kf_obs again after the erase below, so the decrement
+    # targets were already -1 and n_obs never decremented — caught by
+    # test_gba_slices_interleave_with_chunk_mapping's recount invariant)
+    new_obs_rows = jnp.where(pruned, -1, old_obs_rows)
     m = m._replace(
         kf_obs=m.kf_obs.at[
             jnp.where(cam_ids >= 0, cam_ids, m.capacity_kfs)
         ].set(new_obs_rows, mode="drop")
     )
-    # decrement n_obs of pruned points
-    pruned_pts = jnp.where(pruned, m.kf_obs[kf_safe], -1).reshape(-1)
+    # decrement n_obs of pruned points (by each entry's reference
+    # observation weight)
+    pruned_pts = jnp.where(pruned, old_obs_rows, -1).reshape(-1)
+    w_pr = obs_weight(m.kf_ur[kf_safe]).reshape(-1)
     m = m._replace(
         p_n_obs=m.p_n_obs.at[
             jnp.where(pruned_pts >= 0, pruned_pts, m.capacity_points)
-        ].add(-1, mode="drop")
+        ].add(-w_pr, mode="drop")
     )
     return m
 
@@ -262,6 +268,21 @@ def fuse_duplicates(
         )
     dup = jnp.where(mergeable, jnp.where(keep_b, a, b), -1)
     tgt = jnp.where(mergeable, jnp.where(keep_b, b, a), -1)
+    # ONE merge per dup point per pass: several candidate rows can
+    # nominate the same dup (several features of this KF match points
+    # that all collide with it); without the dedupe every nominated
+    # target gained the dup's FULL observation count while its entries
+    # re-pointed to only one of them (replace_map scatter, last-writer
+    # wins) — n_obs inflated without bound on hub points (caught by the
+    # recount invariant: slots at stored ~2x recount and growing).
+    L = dup.shape[0]
+    rowi = jnp.arange(L, dtype=jnp.int32)
+    first_row = jnp.full((P + 1,), L, jnp.int32).at[
+        jnp.where(dup >= 0, dup, P)
+    ].min(jnp.where(dup >= 0, rowi, L), mode="drop")
+    keep_row = (dup < 0) | (first_row[jnp.maximum(dup, 0)] == rowi)
+    dup = jnp.where(keep_row, dup, -1)
+    tgt = jnp.where(keep_row, tgt, -1)
     replace_map = jnp.arange(P + 1, dtype=jnp.int32).at[
         jnp.where(dup >= 0, dup, P)
     ].set(jnp.where(dup >= 0, tgt, P).astype(jnp.int32))
@@ -326,7 +347,7 @@ def fuse_duplicates(
         kf_obs=m.kf_obs.at[kf_idx].set(new_row),
         p_n_obs=m.p_n_obs.at[
             jnp.where(attached, claimed, P)
-        ].add(1, mode="drop"),
+        ].add(obs_weight(m.kf_ur[kf_idx]), mode="drop"),
     )
     return m
 
@@ -343,8 +364,16 @@ def cull_keyframes(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> MapState:
 
     obs = m.kf_obs[nbrs]                                    # (W, K)
     valid = m.kf_valid[nbrs] & (obs >= 0)
-    n_obs = m.p_n_obs[jnp.maximum(obs, 0)]
-    redundant_obs = valid & (n_obs >= 4)
+    # reference KeyFrameCulling counts the NUMBER OF OBSERVING
+    # KEYFRAMES per point (not the stereo-weighted nObs that gates
+    # TrackedMapPoints/culling thresholds) — with weighted p_n_obs the
+    # old >=4 proxy fired after only two observing KFs. Exact KF counts
+    # come from the incidence matrix.
+    from .mapstate import incidence_matrix
+
+    kf_counts = jnp.sum(incidence_matrix(m), axis=0)        # (P,)
+    n_seen = kf_counts[jnp.maximum(obs, 0)]
+    redundant_obs = valid & (n_seen >= 3.0)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
     frac = jnp.sum(redundant_obs.astype(jnp.int32), axis=1) / jnp.maximum(
         n_valid, 1
@@ -364,12 +393,14 @@ def cull_keyframes(cfg: SLAMConfig, m: MapState, kf_idx: jax.Array) -> MapState:
         kf_anchor=m.kf_anchor.at[tgt].set(kf_idx, mode="drop"),
         kf_Tca=m.kf_Tca.at[tgt].set(Tca, mode="drop"),
     )
-    # decrement observation counts of the killed KFs' points
+    # decrement observation counts of the killed KFs' points (by
+    # reference observation weight)
     dead_obs = jnp.where(kill[:, None] & valid, obs, -1).reshape(-1)
+    w_dead = obs_weight(m.kf_ur[nbrs]).reshape(-1)
     m = m._replace(
         p_n_obs=m.p_n_obs.at[
             jnp.where(dead_obs >= 0, dead_obs, m.capacity_points)
-        ].add(-1, mode="drop")
+        ].add(-w_dead, mode="drop")
     )
     return m
 
@@ -450,20 +481,25 @@ def create_new_points(
         m, new_ids = add_points(
             m, tri.xyz, desc1, normal, min_d, max_d, create, kf_idx,
             tomb_dyn_threshold=cfg.crf.dynamic_threshold,
+            n_obs_init=0,
         )
         got = new_ids >= 0
-        # record observations in both keyframes
+        # record observations in both keyframes (n_obs += the two
+        # entries' reference weights — triangulated features are
+        # usually mono/far, weight 1 each)
         row1 = jnp.where(got, new_ids, m.kf_obs[kf_idx])
         m = m._replace(kf_obs=m.kf_obs.at[kf_idx].set(row1))
         feat2 = jnp.where(got, mm.idx, K)
         row2 = m.kf_obs[nb].at[feat2].set(
             jnp.where(got, new_ids, -1), mode="drop"
         )
+        w_both = obs_weight(m.kf_ur[kf_idx]) + obs_weight(
+            m.kf_ur[nb].at[feat2].get(mode="clip"))
         m = m._replace(
             kf_obs=m.kf_obs.at[nb].set(row2),
             p_n_obs=m.p_n_obs.at[
                 jnp.where(got, new_ids, m.capacity_points)
-            ].add(1, mode="drop"),
+            ].add(w_both, mode="drop"),
         )
         free1 = m.kf_valid[kf_idx] & (m.kf_obs[kf_idx] == -1)
     return m

@@ -176,14 +176,25 @@ def add_keyframe(
     )
     # bump n_obs for observed points (dump slot = capacity, NOT -1: JAX
     # wraps negative dynamic indices even in drop mode, which would
-    # silently corrupt the last point's stats)
+    # silently corrupt the last point's stats). Reference nObs
+    # semantics (MapPoint::AddObservation): a stereo/depth-backed
+    # observation counts 2, a monocular one counts 1 — every
+    # observation-count threshold in the pipeline (TrackedMapPoints
+    # minObs=3, culling bars, KF redundancy) assumes this weighting.
     obs = jnp.where(
         in_cap & frame.valid & (obs_point >= 0), obs_point, m.capacity_points
     )
+    w = obs_weight(frame.u_right)
     m = m._replace(
-        p_n_obs=m.p_n_obs.at[obs].add(1, mode="drop"),
+        p_n_obs=m.p_n_obs.at[obs].add(w, mode="drop"),
     )
     return m, f
+
+
+def obs_weight(u_right: jax.Array) -> jax.Array:
+    """Reference MapPoint::AddObservation weight: 2 for stereo/depth
+    observations (virtual right coordinate present), 1 for mono."""
+    return jnp.where(u_right >= 0, 2, 1).astype(jnp.int32)
 
 
 def add_points(
@@ -196,6 +207,7 @@ def add_points(
     create: jax.Array,     # (M,) bool — which rows actually allocate
     owner_kf: jax.Array,   # () int32
     tomb_dyn_threshold: float = 0.5,
+    n_obs_init: int = 0,
 ) -> Tuple[MapState, jax.Array]:
     """Allocate up to M new points; returns per-row new ids (-1 where not
     created or out of capacity). Allocation is compacted so invalid rows
@@ -263,7 +275,13 @@ def add_points(
         p_min_dist=m.p_min_dist.at[tgt].set(min_dist, mode="drop"),
         p_max_dist=m.p_max_dist.at[tgt].set(max_dist, mode="drop"),
         p_first_kf=m.p_first_kf.at[tgt].set(owner_kf, mode="drop"),
-        p_n_obs=m.p_n_obs.at[tgt].set(1, mode="drop"),
+        # n_obs seed: 0 — observations are counted where their
+        # keyframe entries are recorded (add_keyframe's weighted bump,
+        # create_new_points' explicit bumps). The r1-r4 code seeded 1
+        # here AND bumped at add_keyframe, double counting fresh
+        # points (found by the n_obs==recount invariant in
+        # test_loop_throughput_e2e)
+        p_n_obs=m.p_n_obs.at[tgt].set(n_obs_init, mode="drop"),
         p_visible=m.p_visible.at[tgt].set(1, mode="drop"),
         p_found=m.p_found.at[tgt].set(1, mode="drop"),
         p_dyn=m.p_dyn.at[tgt].set(0.0, mode="drop"),

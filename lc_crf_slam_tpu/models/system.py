@@ -264,6 +264,7 @@ class SLAMSystem:
             self.map, res.xyz, ref.desc, normal, min_d, max_d, res.ok,
             jnp.asarray(0),
             tomb_dyn_threshold=self.cfg.crf.dynamic_threshold,
+            n_obs_init=0,   # both add_keyframe bumps below count
         )
         self.map, kf0 = add_keyframe(
             self.map, ref, jnp.eye(4), jnp.asarray(t_ref), ids,

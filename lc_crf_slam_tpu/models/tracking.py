@@ -136,6 +136,7 @@ def initialize_map(
     m, ids = add_points(
         m, pw, frame.desc, normal, min_d, max_d, create, jnp.asarray(0),
         tomb_dyn_threshold=cfg.crf.dynamic_threshold,
+        n_obs_init=0,    # add_keyframe's bump counts the observation
     )
     m, kf_idx = add_keyframe(m, frame, Tcw, timestamp, ids)
     ts = empty_track_state(cfg)._replace(
@@ -496,9 +497,17 @@ def track_step(
     err_miss_old = m.p_err_ema[local_ids]
     # two-tier miss target (see CRFConfig): a stale mover carries an
     # elevated flow / residual EMA from the frames it was still matched;
-    # only then does the miss push hard toward the dynamic threshold
-    corroborated = (
-        m.p_flow_err[local_ids] > cfg.crf.miss_corroborate_flow
+    # only then does the miss push hard toward the dynamic threshold.
+    # The corroboration bar rides the self-calibrating flow noise floor
+    # (crf.noise_floors): under image noise the whole map's flow EMA
+    # sits above the noise-free bar and every rotation dropout would
+    # count as corroborated.
+    from .crf import masked_median
+
+    flow_floor = masked_median(
+        m.p_flow_err, m.p_alive & (m.p_visible >= 4))
+    corroborated = m.p_flow_err[local_ids] > jnp.maximum(
+        cfg.crf.miss_corroborate_flow, 2.0 * flow_floor
     )
     miss_tgt = jnp.where(
         corroborated, cfg.crf.miss_err, cfg.crf.miss_err_weak
@@ -674,6 +683,7 @@ def insert_keyframe(
     m, new_ids = add_points(
         m, pw, frame.desc, normal, min_d, max_d, create, ts.ref_kf + 1,
         tomb_dyn_threshold=cfg.crf.dynamic_threshold,
+        n_obs_init=0,    # add_keyframe's bump counts the observation
     )
     m = m._replace(
         p_last_seen=m.p_last_seen.at[
@@ -681,6 +691,16 @@ def insert_keyframe(
         ].set(ts.frame_idx, mode="drop")
     )
     obs_all = jnp.where(obs >= 0, obs, new_ids)
+    if flow_dyn is not None:
+        # CONDEMN flow-dynamic features (-2) rather than leaving them
+        # free (-1): the spawn veto above only blocked the depth spawn,
+        # but a free feature re-enters through create_new_points'
+        # epipolar triangulation at the next mapping pass — a moving
+        # surface triangulates self-consistently between two close-in-
+        # time keyframes, so the mover was re-ingested through the
+        # triangulation path (the entering-billboard gate measured 18
+        # trusted mover points slipping in this way).
+        obs_all = jnp.where(flow_dyn & (obs_all == -1), -2, obs_all)
     m, kf_idx = add_keyframe(m, frame, ts.Tcw, timestamp, obs_all)
     # reference NeedNewKeyFrame: nRefMatches counts only the reference
     # KF's WELL-OBSERVED points (TrackedMapPoints(nMinObs), nMinObs=3,

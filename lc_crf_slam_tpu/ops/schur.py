@@ -446,13 +446,17 @@ def solve_ba(
             cam_new, p_new = _lm_step(
                 cam, cam_Tcw, p_xyz, prob, lam, huber_delta, tbl)
         _, f_new = total_cost(cam_new, p_new)
-        accept = f_new < f_old
+        # finite guard: see solve_ba_cg's body
+        accept = (f_new < f_old) \
+            & jnp.all(jnp.isfinite(cam_new)) & jnp.all(jnp.isfinite(p_new))
         cam_Tcw = jnp.where(accept, cam_new, cam_Tcw)
         p_xyz = jnp.where(accept, p_new, p_xyz)
         lam = jnp.clip(
             jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e6
         )
-        return cam_Tcw, p_xyz, lam, jnp.minimum(f_new, f_old)
+        # carry by acceptance, NOT minimum: min(NaN, f_old) is NaN and
+        # would wedge every later comparison
+        return cam_Tcw, p_xyz, lam, jnp.where(accept, f_new, f_old)
 
     _, f0 = total_cost(prob.cam_Tcw, prob.p_xyz)
     cam_Tcw, p_xyz, _, _ = jax.lax.fori_loop(
@@ -590,7 +594,14 @@ def solve_ba_cg(
         cam_new, p_new = lm_step(cam_Tcw, p_xyz, lam)
         f_old = total_cost(cam_Tcw, p_xyz)
         f_new = total_cost(cam_new, p_new)
-        accept = f_new < f_old
+        # a non-finite candidate must NEVER be adopted: the robust cost
+        # only sums ACTIVE edges, so an inf/NaN in a weakly-constrained
+        # coordinate can hide from f_new while poisoning the state (a
+        # loop closure on a degraded map fed such a state to the
+        # budgeted GBA and NaN'd the whole trajectory — drift-world
+        # probe, r5)
+        accept = (f_new < f_old) \
+            & jnp.all(jnp.isfinite(cam_new)) & jnp.all(jnp.isfinite(p_new))
         cam_Tcw = jnp.where(accept, cam_new, cam_Tcw)
         p_xyz = jnp.where(accept, p_new, p_xyz)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e6)

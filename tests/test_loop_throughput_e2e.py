@@ -79,8 +79,9 @@ def test_gba_slices_interleave_with_chunk_mapping():
     consistent: observation counts must match a recount of the
     observation table, the budget must drain by export, and the
     trajectory must stay clean."""
-    n = 120   # longer tail than the close-gate world: >=2 chunks AFTER
-              # the loop fires so slices genuinely interleave
+    n = 96    # the proven sweep-revisit world; chunk=10 (not the
+              # bench's 15) leaves >=2 chunks AFTER the loop fires so
+              # slices genuinely interleave with in-scan mapping
     world = SyntheticWorld(
         cam=QVGA, n_frames=n, n_static=1600, n_dynamic=0, seed=3,
         trajectory="sweep",
@@ -97,7 +98,7 @@ def test_gba_slices_interleave_with_chunk_mapping():
     depths = np.stack([f.depth_image for f in frames]).astype(np.float32)
     ts = np.asarray([f.timestamp for f in frames])
 
-    poses = slam.track_sequence(grays, depths, ts, chunk=15)
+    poses = slam.track_sequence(grays, depths, ts, chunk=10)
     assert np.isfinite(poses).all()
     assert len(slam.loop_log) >= 1, slam.loop_log
     # slices actually ran against the live map (>= 2: interleaved work,
@@ -112,13 +113,16 @@ def test_gba_slices_interleave_with_chunk_mapping():
 
     # map consistency after slices interleaved with mapping mutations:
     # p_n_obs of every alive point equals the recount of its entries in
-    # alive keyframes' observation tables
+    # alive keyframes' observation tables, each weighted by the
+    # reference's AddObservation rule (stereo/depth entry = 2, mono = 1)
     m = slam.map
     kf_alive = np.asarray(m.kf_alive)
     obs = np.asarray(m.kf_obs)[kf_alive]
     valid = np.asarray(m.kf_valid)[kf_alive] & (obs >= 0)
+    w = 1 + (np.asarray(m.kf_ur)[kf_alive] >= 0).astype(np.int64)
     P = int(m.capacity_points)
-    recount = np.bincount(obs[valid].ravel(), minlength=P)[:P]
+    recount = np.bincount(obs[valid].ravel(), weights=w[valid].ravel(),
+                          minlength=P)[:P].astype(np.int64)
     p_alive = np.asarray(m.p_alive)
     stored = np.asarray(m.p_n_obs)
     mismatch = p_alive & (stored != recount)
